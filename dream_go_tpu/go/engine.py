@@ -1,0 +1,331 @@
+"""Vectorized Go rules engine (Tromp-Taylor + positional super-ko).
+
+TPU-native replacement for `src/libdg_go/board.rs` + `board_fast.rs`.  The
+reference maintains per-vertex packed bitfields with circular linked-list
+chains and incremental liberty counters — an inherently sequential pointer
+design.  Here the board is a handful of dense arrays and every rule is a
+fixed-shape vectorized computation, so thousands of boards step in lockstep
+under ``jit``/``vmap``:
+
+- ``stones``    int8[361]: 0 empty / 1 black / 2 white.
+- ``chain_id``  int32[361]: the id of the chain occupying each point (ids are
+  point indices; the representative is the minimum member index).  Chain merge
+  on placement is a single vectorized relabel over ≤4 neighbor chain ids —
+  no union-find iteration is needed because a placed stone can only join its
+  ≤4 adjacent chains (replaces `board_fast.rs:277-327` `join_blocks`).
+- liberties are recomputed exactly on demand in one vectorized pass: each
+  empty point contributes one liberty to each *distinct* adjacent chain
+  (≤4-way dedup), accumulated with a scatter-add (replaces the incremental
+  `num_liberties` counters of `board_fast.rs:46-58`).
+- positional super-ko: 64-bit zobrist hash kept as a uint32 pair, with a
+  fixed-size ring of the most recent ``history_len`` post-move hashes
+  (replaces `board.rs:132-141` `_is_ko` + the 64-slot `SmallSet64`).
+  Candidate hashes for *all* 361 points are computed at once using per-chain
+  XOR aggregates (replaces `board_fast.rs:406-423` `place_if`).
+
+Legality (`is_valid`, `board_fast.rs:216-243`): a move at an empty point is
+legal iff it has an empty neighbor, an adjacent own chain with ≥2 liberties,
+or an adjacent opponent chain with exactly 1 liberty (suicide is illegal);
+super-ko then filters moves whose resulting hash appears in the ring.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .topology import IOTA, NBR, NN, PASS
+from .zobrist import Z
+
+N = 19
+EMPTY, BLACK, WHITE = 0, 1, 2
+OFFBOARD = 3  # sentinel color for the padded gather slot
+
+# Module-level constants stay as NUMPY arrays on purpose: a jnp array created
+# at import time is committed to the default device, and when that device is a
+# remote TPU tunnel, embedding it as an MLIR constant forces a device->host
+# fetch per trace.  Numpy constants embed into the lowered module directly.
+_NBR = NBR
+_IOTA = IOTA
+_ZB = Z[0]  # [361, 2] uint32, black
+_ZW = Z[1]  # [361, 2] uint32, white
+_SHIFTS = np.arange(32, dtype=np.uint32)
+
+
+class GoState(struct.PyTreeNode):
+    """Single-board state; batch by adding a leading axis via ``vmap``."""
+
+    stones: jax.Array        # int8[361]
+    chain_id: jax.Array      # int32[361] (valid where stones != EMPTY)
+    to_move: jax.Array       # int8 scalar: BLACK or WHITE
+    hash: jax.Array          # uint32[2]
+    hash_hist: jax.Array     # uint32[history_len, 2] ring of post-move hashes
+    placed_count: jax.Array  # int32 scalar: stones placed (ring write cursor)
+    move_count: jax.Array    # int32 scalar: total moves incl. passes
+    pass_count: jax.Array    # int32 scalar: consecutive passes
+    last_two: jax.Array      # int32[2]: most recent / previous placed points
+    komi: jax.Array          # float32 scalar
+    done: jax.Array          # bool scalar: both players passed
+
+
+def new_state(komi: float = 7.5, history_len: int = 64) -> GoState:
+    return GoState(
+        stones=jnp.zeros(NN, jnp.int8),
+        chain_id=jnp.asarray(IOTA),
+        to_move=jnp.int8(BLACK),
+        hash=jnp.zeros(2, jnp.uint32),
+        hash_hist=jnp.zeros((history_len, 2), jnp.uint32),
+        placed_count=jnp.int32(0),
+        move_count=jnp.int32(0),
+        pass_count=jnp.int32(0),
+        last_two=jnp.full(2, PASS, jnp.int32),
+        komi=jnp.float32(komi),
+        done=jnp.bool_(False),
+    )
+
+
+def _pad(arr: jax.Array, fill) -> jax.Array:
+    """Append the sentinel slot used by off-board `NBR` gathers."""
+    return jnp.concatenate([arr, jnp.full((1,), fill, arr.dtype)])
+
+
+def _dedup4(ids: jax.Array, valid: jax.Array) -> jax.Array:
+    """First-occurrence mask over the last axis of size 4.
+
+    Mirrors the reference's ``seen_blocks: [Point; 4]`` dedup idiom
+    (`board_fast.rs:406-423`): entry k survives iff valid and no earlier valid
+    entry carries the same id.
+    """
+    i0, i1, i2, i3 = (ids[..., k] for k in range(4))
+    v0, v1, v2, v3 = (valid[..., k] for k in range(4))
+    k0 = v0
+    k1 = v1 & ~(v0 & (i1 == i0))
+    k2 = v2 & ~(v0 & (i2 == i0)) & ~(v1 & (i2 == i1))
+    k3 = v3 & ~(v0 & (i3 == i0)) & ~(v1 & (i3 == i1)) & ~(v2 & (i3 == i2))
+    return jnp.stack([k0, k1, k2, k3], axis=-1)
+
+
+def chain_liberties(stones: jax.Array, chain_id: jax.Array):
+    """Exact per-chain liberty counts in one vectorized pass.
+
+    Returns ``(point_libs[361], chain_libs[362])`` where ``point_libs[p]`` is
+    the liberty count of the chain occupying p (0 for empty points) and
+    ``chain_libs`` is indexed by chain id (slot 361 is scatter trash).
+    """
+    st_p = _pad(stones, OFFBOARD)
+    cid_p = _pad(chain_id, -1)
+    nbr_st = st_p[_NBR]                      # [361, 4]
+    nbr_cid = cid_p[_NBR]                    # [361, 4]
+    empty = stones == EMPTY                  # [361]
+
+    is_stone = (nbr_st == BLACK) | (nbr_st == WHITE)
+    keep = _dedup4(nbr_cid, is_stone) & empty[:, None]
+    targets = jnp.where(keep, nbr_cid, NN)   # route dropped entries to trash
+    chain_libs = jnp.zeros(NN + 1, jnp.int32).at[targets.reshape(-1)].add(
+        keep.reshape(-1).astype(jnp.int32))
+    point_libs = jnp.where(
+        stones != EMPTY, chain_libs[jnp.clip(chain_id, 0, NN)], 0)
+    return point_libs, chain_libs
+
+
+def _chain_xor(stones: jax.Array, chain_id: jax.Array, color) -> jax.Array:
+    """Per-chain XOR of zobrist entries for stones of ``color``: uint32[362, 2].
+
+    XOR is per-bit parity, so we scatter-add the 64 bit-planes per chain and
+    keep the low bit.  Replaces the reference's per-chain walk in
+    ``capture_if`` (`board_fast.rs:366-374`) with a single segment reduction.
+    """
+    zc = jnp.where(jnp.asarray(color) == BLACK, _ZB, _ZW)      # [361, 2]
+    bits = (zc[:, :, None] >> _SHIFTS) & jnp.uint32(1)         # [361, 2, 32]
+    ids = jnp.where(stones == jnp.asarray(color).astype(stones.dtype),
+                    chain_id, NN)
+    seg = jnp.zeros((NN + 1, 2, 32), jnp.uint32).at[ids].add(bits)
+    parity = seg & jnp.uint32(1)
+    return jnp.sum(parity << _SHIFTS, axis=-1, dtype=jnp.uint32)  # [362, 2]
+
+
+def _capture_info(state: GoState, color):
+    """Per-candidate capture analysis shared by legality and stepping.
+
+    For every point p, which of its ≤4 neighbors head opponent chains in atari
+    (their lone liberty is necessarily p), deduplicated.  Returns
+    ``(nbr_st, nbr_cid, nbr_libs, cap_keep)`` each shaped [361, 4].
+    """
+    _, chain_libs = chain_liberties(state.stones, state.chain_id)
+    st_p = _pad(state.stones, OFFBOARD)
+    cid_p = _pad(state.chain_id, -1)
+    nbr_st = st_p[_NBR]
+    nbr_cid = cid_p[_NBR]
+    nbr_libs = chain_libs[jnp.clip(nbr_cid, 0, NN)]
+    opp = (OFFBOARD - jnp.asarray(color)).astype(nbr_st.dtype)
+    is_cap = (nbr_st == opp) & (nbr_libs == 1)
+    cap_keep = _dedup4(nbr_cid, is_cap)
+    return nbr_st, nbr_cid, nbr_libs, cap_keep, chain_libs
+
+
+def candidate_hashes(state: GoState, color) -> jax.Array:
+    """Post-move zobrist hash for playing ``color`` at every point: u32[361, 2].
+
+    Vectorized equivalent of `board_fast.rs:406-423` (`place_if`) evaluated
+    for all candidates at once: ``h ^ z[color][p] ^ XOR(captured chains)``.
+    """
+    _, nbr_cid, _, cap_keep, _ = _capture_info(state, color)
+    opp = OFFBOARD - jnp.asarray(color)
+    cxor = _chain_xor(state.stones, state.chain_id, opp)       # [362, 2]
+    cap_xor = jnp.where(cap_keep[:, :, None],
+                        cxor[jnp.clip(nbr_cid, 0, NN)],
+                        jnp.uint32(0))                          # [361, 4, 2]
+    cap_xor = jax.lax.reduce(cap_xor, np.uint32(0), jax.lax.bitwise_xor, (1,))
+    z_me = jnp.where(jnp.asarray(color) == BLACK, _ZB, _ZW)
+    return state.hash[None, :] ^ z_me ^ cap_xor                 # [361, 2]
+
+
+def pseudo_legal_mask(state: GoState, color=None) -> jax.Array:
+    """Tromp-Taylor legality ignoring super-ko: bool[361].
+
+    Parity with `board_fast.rs:216-243` (`is_valid`): empty point with an
+    empty neighbor, an adjacent own chain with ≥2 liberties, or an adjacent
+    opponent chain in atari.
+    """
+    color = state.to_move if color is None else color
+    nbr_st, _, nbr_libs, _, _ = _capture_info(state, color)
+    me = jnp.asarray(color).astype(nbr_st.dtype)
+    opp = (OFFBOARD - jnp.asarray(color)).astype(nbr_st.dtype)
+    empty = state.stones == EMPTY
+    has_empty_nbr = jnp.any(nbr_st == EMPTY, axis=1)
+    own_alive = jnp.any((nbr_st == me) & (nbr_libs >= 2), axis=1)
+    captures = jnp.any((nbr_st == opp) & (nbr_libs == 1), axis=1)
+    return empty & (has_empty_nbr | own_alive | captures)
+
+
+def superko_mask(state: GoState, color=None) -> jax.Array:
+    """bool[361]: True where playing would repeat a position in the ring."""
+    color = state.to_move if color is None else color
+    h_cand = candidate_hashes(state, color)                     # [361, 2]
+    hist = state.hash_hist                                      # [K, 2]
+    k = hist.shape[0]
+    valid = jnp.arange(k, dtype=jnp.int32) < state.placed_count
+    same = jnp.all(h_cand[:, None, :] == hist[None, :, :], axis=-1)  # [361, K]
+    return jnp.any(same & valid[None, :], axis=1)
+
+
+def legal_mask(state: GoState, color=None) -> jax.Array:
+    """Full legality including super-ko: bool[362] (index 361 = pass).
+
+    Parity with `board.rs:151-153` (`is_valid` = rules + ``!_is_ko``).  Pass
+    is always legal.  When the game is done every move is illegal except pass.
+    """
+    color = state.to_move if color is None else color
+    moves = pseudo_legal_mask(state, color) & ~superko_mask(state, color)
+    moves = moves & ~state.done
+    return jnp.concatenate([moves, jnp.ones(1, bool)])
+
+
+def _place(state: GoState, p: jax.Array) -> GoState:
+    """Place ``to_move``'s stone at point ``p`` (assumed legal).
+
+    Vectorized equivalent of `board_fast.rs:434-474` (`place`) +
+    `board.rs:164-188`: capture adjacent atari chains, merge own chains by
+    relabeling, update hash/history.
+    """
+    me = state.to_move
+    opp = (OFFBOARD - me).astype(jnp.int8)
+    stones, cid = state.stones, state.chain_id
+
+    nbr_st, nbr_cid, nbr_libs, cap_keep, _ = _capture_info(state, me)
+    nbr_st_p, nbr_cid_p = nbr_st[p], nbr_cid[p]                 # [4]
+    cap_keep_p = cap_keep[p]                                    # [4]
+
+    # captured stones: members of the deduped atari chains adjacent to p
+    cap_ids = jnp.where(cap_keep_p, nbr_cid_p, -2)              # [4]
+    captured = (stones == opp) & jnp.any(
+        cid[:, None] == cap_ids[None, :], axis=1)               # [361]
+
+    # merge own chains: new id = min(p, adjacent own chain ids)
+    own_k = nbr_st_p == me
+    own_ids = jnp.where(own_k, nbr_cid_p, NN + 1)
+    new_id = jnp.minimum(p.astype(jnp.int32), jnp.min(own_ids))
+    member = (stones == me) & jnp.any(
+        cid[:, None] == jnp.where(own_k, nbr_cid_p, -2)[None, :], axis=1)
+
+    stones2 = jnp.where(captured, EMPTY, stones).at[p].set(me)
+    cid2 = jnp.where(member, new_id, cid)
+    cid2 = jnp.where(captured, _IOTA, cid2).at[p].set(new_id)
+
+    # hash: own stone in, captured stones out
+    z_me = jnp.where(me == BLACK, _ZB, _ZW)
+    z_opp = jnp.where(me == BLACK, _ZW, _ZB)
+    cap_xor = jax.lax.reduce(
+        jnp.where(captured[:, None], z_opp, jnp.uint32(0)),
+        np.uint32(0), jax.lax.bitwise_xor, (0,))
+    h2 = state.hash ^ z_me[p] ^ cap_xor
+
+    k = state.hash_hist.shape[0]
+    hist2 = state.hash_hist.at[state.placed_count % k].set(h2)
+
+    return state.replace(
+        stones=stones2,
+        chain_id=cid2,
+        to_move=opp,
+        hash=h2,
+        hash_hist=hist2,
+        placed_count=state.placed_count + 1,
+        move_count=state.move_count + 1,
+        pass_count=jnp.int32(0),
+        last_two=jnp.stack([p.astype(jnp.int32), state.last_two[0]]),
+    )
+
+
+def step(state: GoState, action: jax.Array) -> GoState:
+    """Apply an action (0..360 = point, 361 = pass); no-op once done.
+
+    The action is assumed legal (mask with :func:`legal_mask` upstream); this
+    matches the reference's unchecked `place` (`board.rs:164-188`).  Both the
+    place and pass branches are computed unconditionally and selected, which
+    keeps the function dense under ``vmap``.
+    """
+    action = jnp.asarray(action, jnp.int32)
+    is_pass = action >= PASS
+    p = jnp.minimum(action, PASS - 1)
+
+    placed = _place(state, p)
+    passed = state.replace(
+        to_move=(OFFBOARD - state.to_move).astype(jnp.int8),
+        move_count=state.move_count + 1,
+        pass_count=state.pass_count + 1,
+        done=state.done | (state.pass_count + 1 >= 2),
+    )
+
+    out = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(_expand(is_pass, a), a, b), passed, placed)
+    # a finished game is frozen
+    return jax.tree_util.tree_map(
+        lambda a, b: jnp.where(_expand(state.done, a), a, b), state, out)
+
+
+def _expand(cond: jax.Array, like: jax.Array) -> jax.Array:
+    return cond.reshape(cond.shape + (1,) * (like.ndim - cond.ndim))
+
+
+# ---------------------------------------------------------------------------
+# batched conveniences
+
+
+def new_states(batch: int, komi: float = 7.5, history_len: int = 64) -> GoState:
+    """A batch of fresh boards (leading axis ``batch``)."""
+    one = new_state(komi, history_len)
+    return jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (batch,) + x.shape), one)
+
+
+step_batch = jax.vmap(step)
+legal_mask_batch = jax.vmap(legal_mask)
+
+
+@functools.partial(jax.jit, static_argnums=())
+def jit_step(state: GoState, action: jax.Array) -> GoState:
+    return step(state, action)
