@@ -1,0 +1,168 @@
+"""Benson's unconditional-life algorithm as vectorized fixed-point iteration.
+
+Replaces `src/libdg_go/utils/benson.rs`.  Semantics follow the reference
+exactly (which differs slightly from textbook Benson):
+
+- *blocks* are the chains of the queried color;
+- *regions* are connected components of (empty plus opponent-stone) points:
+  the reference floods from empty points through anything that is not the
+  queried color (`benson.rs:298-318` with `flood_fill.rs` ``stop_at`` =
+  to-move color), so trapped opponent stones belong to the enclosing region;
+- a region is *vital* to a block iff **every** point of the region (including
+  trapped opponent stones) is adjacent to the block (`benson.rs:193-203`;
+  `Block::is_liberty` delegates to ``adjacencies_of`` which yields all
+  adjacent points of the chain, `board_fast.rs:154-159`);
+- iterate: drop blocks with fewer than two vital healthy regions
+  (`remove_non_alive_blocks`), drop regions any of whose adjacent same-color
+  stones belong to a dropped block (`remove_non_surrounded_regions`), until
+  stable.
+
+The vectorized form labels empty regions by min-label propagation, builds the
+[region x chain] liberty/adjacency incidence matrices with segment reductions,
+and runs the removal loop as a boolean fixed point under ``lax.while_loop``.
+
+Outputs per color: ``alive`` (stone in a pass-alive chain — `is_alive`),
+``eye`` (empty point in a surviving vital region — `is_eye`).
+`is_valid(p)` from the reference is simply ``~alive & ~eye``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .engine import BLACK, EMPTY, WHITE, GoState, _pad
+from .score import territory, tt_score
+from .topology import IOTA, NBR, NN
+
+
+def label_components(mask: jax.Array) -> jax.Array:
+    """int32[361]: connected-component label (min member index) of each point
+    where ``mask`` holds, NN elsewhere.  Min-label propagation to fixed point."""
+    init = jnp.where(mask, IOTA, NN)
+
+    def body(carry):
+        _, lbl = carry
+        nbr_lbl = _pad(lbl, NN)[NBR]                       # [361, 4]
+        nbr_lbl = jnp.where(_pad(mask, False)[NBR], nbr_lbl, NN)
+        grown = jnp.minimum(lbl, jnp.min(nbr_lbl, axis=1))
+        grown = jnp.where(mask, grown, NN)
+        return jnp.any(grown != lbl), grown
+
+    _, labels = jax.lax.while_loop(
+        lambda c: c[0], body, (jnp.bool_(True), init))
+    return labels
+
+
+def benson(stones: jax.Array, chain_id: jax.Array, color):
+    """Returns ``(alive[361], eye[361])`` boolean masks for ``color``.
+
+    ``eye`` marks all points of surviving vital regions — empty points *and*
+    trapped opponent stones, matching the reference's `is_eye`.
+    """
+    color = jnp.asarray(color).astype(stones.dtype)
+    in_region = stones != color                             # empty or opponent
+    labels = label_components(in_region)                    # [361] in [0..NN]
+
+    # adj[p, b] = region point p is adjacent to chain b of `color`
+    nbr_st = _pad(stones, jnp.int8(3))[NBR]                 # [361, 4]
+    nbr_cid = _pad(chain_id, -1)[NBR]
+    is_color = nbr_st == color
+    cols = jnp.where(is_color & in_region[:, None], nbr_cid, NN)  # trash -> NN
+    rows = jnp.broadcast_to(IOTA[:, None], (NN, 4))
+    adj = jnp.zeros((NN, NN + 1), jnp.int32).at[
+        rows.reshape(-1), cols.reshape(-1)].max(1)
+    adj = adj[:, :NN]                                       # [p, b]
+
+    # V[r, b] = every point of region r is adjacent to b   (segment min)
+    # N[r, b] = region r touches chain b                    (segment max)
+    seg_rows = jnp.where(in_region, labels, NN)
+    vital = jnp.ones((NN + 1, NN), jnp.int32).at[seg_rows].min(adj)[:NN]
+    touches = jnp.zeros((NN + 1, NN), jnp.int32).at[seg_rows].max(adj)[:NN]
+
+    is_region = jnp.zeros(NN + 1, jnp.bool_).at[seg_rows].set(True)[:NN]
+    vital = vital.astype(bool) & is_region[:, None]
+    touches = touches.astype(bool)
+
+    # fixed point: healthy regions <-> alive blocks
+    healthy0 = jnp.any(vital, axis=1) & is_region           # vital to some block
+
+    def body(carry):
+        _, healthy = carry
+        vital_counts = jnp.sum(vital & healthy[:, None], axis=0)     # [b]
+        block_alive = vital_counts >= 2
+        bad_neighbour = jnp.any(touches & ~block_alive[None, :], axis=1)
+        healthy2 = healthy & ~bad_neighbour
+        return jnp.any(healthy2 != healthy), healthy2
+
+    _, healthy = jax.lax.while_loop(
+        lambda c: c[0], body, (jnp.bool_(True), healthy0))
+
+    block_alive = jnp.sum(vital & healthy[:, None], axis=0) >= 2
+    alive = (stones == color) & block_alive[jnp.clip(chain_id, 0, NN - 1)]
+    eye = in_region & healthy[jnp.clip(labels, 0, NN - 1)] & (labels < NN)
+    return alive, eye
+
+
+def is_scorable(state: GoState) -> jax.Array:
+    """bool: every point is Benson-decided (`score.rs:105-117`).
+
+    empty -> eye of either color; black stone -> pass-alive black or inside a
+    white eye (dead); white stone -> pass-alive white or inside a black eye.
+    """
+    alive_b, eye_b = benson(state.stones, state.chain_id, BLACK)
+    alive_w, eye_w = benson(state.stones, state.chain_id, WHITE)
+    st = state.stones
+    ok = jnp.where(
+        st == EMPTY, eye_b | eye_w,
+        jnp.where(st == BLACK, alive_b | eye_w, alive_w | eye_b))
+    return jnp.all(ok)
+
+
+def clear_dead(stones: jax.Array, chain_id: jax.Array) -> jax.Array:
+    """Remove all stones not unconditionally alive (`score.rs:197-211`)."""
+    alive_b, _ = benson(stones, chain_id, BLACK)
+    alive_w, _ = benson(stones, chain_id, WHITE)
+    keep = ((stones == BLACK) & alive_b) | ((stones == WHITE) & alive_w)
+    return jnp.where(keep, stones, EMPTY)
+
+
+def guess_score(finished_stones: jax.Array, finished_chain_id: jax.Array,
+                komi: jax.Array) -> jax.Array:
+    """TT score of the board with Benson-dead stones cleared
+    (`score.rs:141-147` `get_guess_score`), black minus white minus komi."""
+    cleaned = clear_dead(finished_stones, finished_chain_id)
+    black, white = tt_score(cleaned)
+    return black.astype(jnp.float32) - white.astype(jnp.float32) - komi
+
+
+# stone-status codes for SGF territory emission (`score.rs:25-52`)
+STATUS_NONE, STATUS_ALIVE, STATUS_DEAD, STATUS_SEKI = 0, 1, 2, 3
+
+
+def stone_status(stones: jax.Array, chain_id: jax.Array,
+                 finished_stones: jax.Array, finished_chain_id: jax.Array):
+    """Vectorized `get_stone_status` (`score.rs:149-185`).
+
+    Returns ``(status[361] int8, terr[361] int8)`` where status is one of the
+    STATUS_* codes for stones (NONE for empty) and terr is EMPTY/BLACK/WHITE
+    ownership used for the SGF ``TB[]/TW[]`` properties and ownership labels.
+    """
+    alive_b, eye_b = benson(finished_stones, finished_chain_id, BLACK)
+    alive_w, eye_w = benson(finished_stones, finished_chain_id, WHITE)
+    cleaned = clear_dead(finished_stones, finished_chain_id)
+    tb, tw = territory(cleaned)
+
+    is_b, is_w = stones == BLACK, stones == WHITE
+    status = jnp.where(
+        is_b, jnp.where(alive_b, STATUS_ALIVE,
+                        jnp.where(eye_w, STATUS_DEAD, STATUS_SEKI)),
+        jnp.where(is_w, jnp.where(alive_w, STATUS_ALIVE,
+                                  jnp.where(eye_b, STATUS_DEAD, STATUS_SEKI)),
+                  STATUS_NONE)).astype(jnp.int8)
+    terr = jnp.where(
+        is_b, jnp.where(alive_b, BLACK, jnp.where(eye_w, WHITE, BLACK)),
+        jnp.where(is_w, jnp.where(alive_w, WHITE,
+                                  jnp.where(eye_b, BLACK, WHITE)),
+                  jnp.where(tb, BLACK, jnp.where(tw, WHITE, EMPTY))))
+    return status, terr.astype(jnp.int8)

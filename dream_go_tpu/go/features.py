@@ -1,0 +1,163 @@
+"""NN input feature planes, vectorized over the whole board.
+
+Replaces `src/libdg_go/utils/features.rs` (V1, 32 planes, layout documented at
+`features.rs:101-148`).  The expensive plane family — "liberties after move"
+(planes 12-17/24-29 in 1-based terms) — is the reference's per-candidate
+`get_n_liberty_if` walk (`board_fast.rs:484-539`).  Here it is computed for
+*all* 361 candidates at once from a counting identity:
+
+    libs_if[p] = sum_e  [e != p]
+                 * (empty[e]  OR  e is a stone captured by playing p)
+                 * (e adjacent to p  OR  e adjacent to an own chain merged by p)
+
+where "merged by p" compares the ≤4 own-chain ids adjacent to p against the
+≤4 own-chain ids adjacent to e — a [361, 361, 4, 4] broadcast-compare that
+XLA fuses into one reduction (the MXU/Pallas formulation of the same identity
+is a planned optimization).  The identity counts each liberty of the merged
+chain exactly once, reproducing `get_n_liberty_if` exactly (validated against
+the oracle in tests).
+
+Plane order (0-indexed, `features.rs:104-148`):
+  0  komi plane if black to move     1  komi plane if white to move
+  2  constant: any move is super-ko  3  most recent move   4 previous move
+  5-10   own liberties >= 1..6       11-16  own liberties after move >= 1..6
+  17-22  opp liberties >= 1..6       23-28  opp liberties after move >= 1..6
+  29 is-super-ko  30 is-ladder-capture  31 is-ladder-escape
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .engine import (
+    BLACK,
+    EMPTY,
+    OFFBOARD,
+    GoState,
+    _capture_info,
+    _pad,
+    chain_liberties,
+    pseudo_legal_mask,
+    superko_mask,
+)
+from .topology import NBR, NN, SYM
+
+NUM_FEATURES_V1 = 32
+
+# static [361, 361] adjacency matrix (bool)
+_ADJ = np.zeros((NN, NN), dtype=bool)
+for _p in range(NN):
+    for _q in NBR[_p]:
+        if _q < NN:
+            _ADJ[_p, _q] = True
+_EYE = np.eye(NN, dtype=bool)
+
+
+def liberties_if(state: GoState, color) -> jax.Array:
+    """int32[361]: exact liberty count of the chain formed by playing
+    ``color`` at each point (garbage at non-pseudo-legal points — mask
+    upstream).  Vectorized `get_n_liberty_if` (`board_fast.rs:484-539`)."""
+    stones, cid = state.stones, state.chain_id
+    color = jnp.asarray(color).astype(stones.dtype)
+    opp = (OFFBOARD - color).astype(stones.dtype)
+
+    _, chain_libs = chain_liberties(stones, cid)
+    st_p = _pad(stones, jnp.int8(OFFBOARD))
+    cid_p = _pad(cid, -1)
+    nbr_st = st_p[NBR]                                   # [361, 4]
+    nbr_cid = cid_p[NBR]
+    nbr_libs = chain_libs[jnp.clip(nbr_cid, 0, NN)]
+
+    # own-chain ids adjacent to each point (-1 = none); doubles as S (rows:
+    # candidates) and T (rows: liberty-side points)
+    own_ids = jnp.where(nbr_st == color, nbr_cid, -1)    # [361, 4]
+    # opponent chains captured by playing at each candidate (-2 = none)
+    cap_ids = jnp.where((nbr_st == opp) & (nbr_libs == 1), nbr_cid, -2)
+
+    # match[p, e]: e is adjacent to an own chain that p merges with
+    match = jnp.any(
+        (own_ids[:, None, :, None] == own_ids[None, :, None, :])
+        & (own_ids[:, None, :, None] >= 0),
+        axis=(2, 3))                                     # [361, 361]
+
+    # cap_member[p, e]: the stone at e is captured by playing p
+    cap_member = jnp.any(
+        cap_ids[:, None, :] == cid[None, :, None], axis=2) \
+        & (stones == opp)[None, :]                       # [361, 361]
+
+    empty = (stones == EMPTY)[None, :]
+    open_after = empty | cap_member
+    reaches = _ADJ | match
+    count = jnp.sum(open_after & reaches & ~_EYE, axis=1)
+    return count.astype(jnp.int32)
+
+
+def features_v1(state: GoState, symmetry: int = 0,
+                ladder_capture: jax.Array | None = None,
+                ladder_escape: jax.Array | None = None) -> jax.Array:
+    """float32[19, 19, 32] feature planes (NHWC once batched).
+
+    ``symmetry`` indexes the D8 transform table (0 = identity) and must be a
+    static Python int (trace-time constant); for traced symmetry selection use
+    :func:`apply_symmetry` on the output.
+    """
+    stones = state.stones
+    me = state.to_move
+    opp = (OFFBOARD - me).astype(stones.dtype)
+    point_libs, _ = chain_liberties(stones, state.chain_id)
+
+    own = stones == me
+    other = stones == opp
+    own_libs = jnp.where(own, point_libs, 0)
+    opp_libs = jnp.where(other, point_libs, 0)
+
+    valid_me = pseudo_legal_mask(state, me)
+    valid_opp = pseudo_legal_mask(state, opp)
+    libs_if_me = jnp.where(valid_me, liberties_if(state, me), 0)
+    libs_if_opp = jnp.where(valid_opp, liberties_if(state, opp), 0)
+
+    ko = superko_mask(state, me) & valid_me
+    any_ko = jnp.any(ko)
+
+    planes = []
+    komi_c = jnp.clip(0.5 + 0.5 * state.komi / 7.5, 0.0, 1.0)
+    is_black = (me == BLACK).astype(jnp.float32) * komi_c
+    is_white = (me != BLACK).astype(jnp.float32) * komi_c
+    ones = jnp.ones(NN, jnp.float32)
+    planes.append(ones * is_black)                               # 0
+    planes.append(ones * is_white)                               # 1
+    planes.append(ones * any_ko.astype(jnp.float32))             # 2
+
+    one_hot = lambda p: (jnp.arange(NN) == p).astype(jnp.float32) * (p < NN)
+    planes.append(one_hot(state.last_two[0]))                    # 3
+    planes.append(one_hot(state.last_two[1]))                    # 4
+
+    for k in range(1, 7):                                        # 5-10
+        planes.append((own_libs >= k).astype(jnp.float32))
+    for k in range(1, 7):                                        # 11-16
+        planes.append((libs_if_me >= k).astype(jnp.float32))
+    for k in range(1, 7):                                        # 17-22
+        planes.append((opp_libs >= k).astype(jnp.float32))
+    for k in range(1, 7):                                        # 23-28
+        planes.append((libs_if_opp >= k).astype(jnp.float32))
+
+    planes.append(ko.astype(jnp.float32))                        # 29
+    zeros = jnp.zeros(NN, jnp.float32)
+    planes.append(zeros if ladder_capture is None
+                  else ladder_capture.astype(jnp.float32))       # 30
+    planes.append(zeros if ladder_escape is None
+                  else ladder_escape.astype(jnp.float32))        # 31
+
+    feats = jnp.stack(planes, axis=-1)                           # [361, 32]
+    if symmetry != 0:
+        feats = feats[SYM[symmetry]]
+    return feats.reshape(19, 19, NUM_FEATURES_V1)
+
+
+def apply_symmetry(planes: jax.Array, symmetry: jax.Array) -> jax.Array:
+    """Apply a traced D8 transform index to [..., 19, 19, C] planes."""
+    flat = planes.reshape(planes.shape[:-3] + (NN, planes.shape[-1]))
+    perm = jnp.asarray(SYM)[symmetry]
+    return jnp.take(flat, perm, axis=-2).reshape(planes.shape)
