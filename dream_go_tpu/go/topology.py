@@ -35,6 +35,24 @@ NBR: np.ndarray = _build_neighbors()
 IOTA: np.ndarray = np.arange(NN, dtype=np.int32)
 
 
+def _build_neighbors8() -> np.ndarray:
+    """[361, 8]: 4 cross then 4 diagonal neighbors; NN for off-board."""
+    nbr = np.full((NN, 8), NN, dtype=np.int32)
+    offsets = ((1, 0), (-1, 0), (0, 1), (0, -1),
+               (1, 1), (1, -1), (-1, 1), (-1, -1))
+    for p in range(NN):
+        x, y = p % N, p // N
+        for k, (dx, dy) in enumerate(offsets):
+            nx, ny = x + dx, y + dy
+            if 0 <= nx < N and 0 <= ny < N:
+                nbr[p, k] = N * ny + nx
+    return nbr
+
+
+#: [361, 8] cross+diagonal neighbors (for the eye heuristic).
+NBR8: np.ndarray = _build_neighbors8()
+
+
 def _build_symmetries() -> np.ndarray:
     """D8 group as gather permutations.
 

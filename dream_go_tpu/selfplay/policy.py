@@ -1,0 +1,112 @@
+"""Policy-only self-play: the reference's ``--num-rollout 1`` fast path.
+
+Replaces `src/libdg_mcts/self_play.rs:370-459` with a fully vectorized
+driver: all games advance in lockstep on device, one network evaluation per
+move for the whole batch; the host loop only records per-move arrays and
+assembles SGF lines.
+
+Reference semantics preserved:
+- passing is forbidden until the board is scorable (`self_play_one`,
+  `self_play.rs:434-436`): before that the ScoringSearch candidate mask
+  applies (no pass, no Benson/heuristic eye fills, `options.rs:110-214`);
+- the move is drawn with percentile-cutoff temperature sampling over the
+  masked policy (`choose(policy, 0.5, 1/T, rand)`, `self_play.rs:381-386`);
+  if no candidate survives, pass (`unwrap_or(361)`);
+- games end on two consecutive passes or after 722 moves;
+- per-move records carry the full policy softmax (``P[...]``) and the
+  black-perspective value (``V[...]``), and the finished board is scored by
+  Benson-clearing + Tromp-Taylor for ``RE``/``TB``/``TW``
+  (`game_result.rs:31-44`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SelfPlayConfig
+from ..go import benson as bn
+from ..go import engine, features
+from ..go.options import scoring_mask
+from ..mcts.choose import choose
+from ..mcts.predictor import Predictor, symmetrize
+from .records import Played, game_result_sgf
+
+
+class PolicyPlayer:
+    """Bundles a predictor with sampling settings."""
+
+    def __init__(self, predictor: Predictor, *, temperature: float = 0.7,
+                 cutoff_percentile: float = 0.5, sym_average: bool = False):
+        self.predict = symmetrize(predictor) if sym_average else predictor
+        self.temperature = temperature
+        self.cutoff_percentile = cutoff_percentile
+
+
+def _build_move_fn(player: PolicyPlayer):
+    """One lockstep move for the whole batch, jitted."""
+
+    @jax.jit
+    def move_fn(states: engine.GoState, rng: jax.Array):
+        feats = jax.vmap(features.features_v1)(states)
+        value, policy = player.predict(feats)
+
+        scorable = jax.vmap(bn.is_scorable)(states)
+        std_mask = engine.legal_mask_batch(states)
+        scoring = jax.vmap(scoring_mask)(states)
+        mask = jnp.where(scorable[:, None], std_mask, scoring)
+
+        masked = jnp.where(mask, policy, 0.0)
+        move = choose(rng, masked, player.cutoff_percentile,
+                      player.temperature)
+        # finished games only pass
+        move = jnp.where(states.done, engine.PASS, move)
+        new_states = engine.step_batch(states, move.astype(jnp.int32))
+        return new_states, move, value, masked / jnp.maximum(
+            jnp.sum(masked, axis=-1, keepdims=True), 1e-9)
+
+    return move_fn
+
+
+@functools.partial(jax.jit)
+def _final_territory(states: engine.GoState):
+    return jax.vmap(bn.stone_status)(
+        states.stones, states.chain_id, states.stones, states.chain_id)[1]
+
+
+def policy_self_play(player: PolicyPlayer, cfg: SelfPlayConfig,
+                     seed: int = 0) -> list[str]:
+    """Play ``cfg.num_games`` games to completion; returns SGF lines."""
+    states = engine.new_states(cfg.num_games, komi=cfg.komi,
+                               history_len=cfg.history_len)
+    move_fn = _build_move_fn(player)
+    key = jax.random.PRNGKey(seed)
+
+    records = []  # (active[B], move[B], value[B], to_move[B], policy f16)
+    for _ in range(cfg.max_moves):
+        key, sub = jax.random.split(key)
+        active = ~np.asarray(states.done)
+        to_move = np.asarray(states.to_move)
+        states, move, value, policy = move_fn(states, sub)
+        records.append((active, np.asarray(move), np.asarray(value),
+                        to_move, np.asarray(policy, dtype=np.float16)))
+        if bool(np.all(np.asarray(states.done))):
+            break
+
+    territory = np.asarray(_final_territory(states))
+    games = []
+    for g in range(cfg.num_games):
+        sgf_moves = []
+        for active, move, value, to_move, policy in records:
+            if not active[g]:
+                break
+            sgf_moves.append(Played(
+                to_move=int(to_move[g]), point=int(move[g]),
+                value=float(value[g]), num_rollout=1,
+                softmax=policy[g]).to_sgf())
+        games.append(game_result_sgf(
+            "".join(sgf_moves), komi=cfg.komi, territory=territory[g]))
+    return games
