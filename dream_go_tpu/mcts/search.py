@@ -1,0 +1,336 @@
+"""On-device batched MCTS: PUCT search over array trees.
+
+Replaces `src/libdg_mcts/tree.rs` + `pool/` (2.8k LoC of lock-free pointer
+trees, spinlocks, and worker threads).  The TPU-native inversion: one
+fixed-capacity array tree per game, thousands of games searched in lockstep —
+each simulation step runs select/expand (vmapped), one *batched* network
+evaluation across all games, then insert/backup (vmapped), inside a single
+jitted ``fori_loop``.  Cross-game batching replaces the reference's
+virtual-loss-driven leaf batching (SURVEY §2.11 P1-P3): with one leaf per
+game per step there is no intra-tree contention, so no virtual loss, no
+spinlocks, no expanding-flag CAS.
+
+Reference formula parity:
+- PUCT select (`tree.rs:63-114`): ``score = Q + prior * uct_exp(n) *
+  sqrt(1+n) / (1+count)`` (count 0 -> bonus ``uct_exp*sqrt(1+n)``), with the
+  visit-interpolated ``uct_exp`` schedule.
+- FPU (`tree.rs:196-239`): unvisited children read
+  ``max(initial_value - fpu_reduce(n), 0)``; not applied at the root.
+- Backup (`tree.rs:125-159`): per-node mean + Welford value_s, with
+  perspective flips (child nodes store the value for *their* player to move,
+  so the parent's edge Q is ``1 - child_mean``).
+- Final selection (`tree.rs:1262-1282, 1524-1558`): temperature `choose`
+  over visit counts for the opening, else greedy by LCB
+  (``normal_lcb``, min 80 visits) with count/prior tie-breaking.
+- Root priors: candidate-masked, renormalized, mixed with Dirichlet(0.03)
+  noise at beta = 0.25 (`dirichlet.rs:27-77`, `lib.rs:162-165`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..config import SearchConfig
+from ..go import engine, features
+from ..go.engine import GoState
+from ..go.options import scoring_mask, standard_mask
+from ..utils.lcb import normal_lcb
+from .choose import choose
+from .predictor import Predictor
+
+A = 362  # actions: 361 points + pass
+MIN_LCB_VISITS = 80  # tree.rs:34
+
+
+class Tree(struct.PyTreeNode):
+    """Fixed-capacity array tree for one game (batch via vmap).
+
+    Node 0 is the root; new nodes are appended at index ``size``.
+    """
+
+    states: GoState          # stacked [N] board state per node
+    prior: jax.Array         # f32[N, 362] masked+renormalized priors
+    candidate: jax.Array     # bool[N, 362] policy-checker mask
+    children: jax.Array      # i32[N, 362], -1 = absent
+    parent: jax.Array        # i32[N], -1 for root
+    parent_action: jax.Array  # i32[N]
+    node_n: jax.Array        # i32[N] visit count
+    node_w: jax.Array        # f32[N] value sum (node-to-move perspective)
+    node_m2: jax.Array       # f32[N] Welford sum of squared deviations
+    value0: jax.Array        # f32[N] net value at node (initial_value)
+    size: jax.Array          # i32 allocated nodes
+
+
+def _node_mean(tree: Tree, idx) -> jax.Array:
+    return tree.node_w[idx] / jnp.maximum(tree.node_n[idx], 1)
+
+
+def init_tree(state: GoState, value: jax.Array, policy: jax.Array,
+              candidate: jax.Array, noise_rng: jax.Array | None,
+              cfg: SearchConfig, num_nodes: int) -> Tree:
+    """Allocate a tree and install the evaluated root."""
+    n = num_nodes
+    states = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (n,) + x.shape), state)
+    prior = _masked_prior(policy, candidate)
+    if noise_rng is not None and cfg.dirichlet_noise > 0:
+        prior = _dirichlet_mix(noise_rng, prior, candidate,
+                               cfg.dirichlet_noise, cfg.dirichlet_alpha)
+    tree = Tree(
+        states=states,
+        prior=jnp.zeros((n, A)).at[0].set(prior),
+        candidate=jnp.zeros((n, A), bool).at[0].set(candidate),
+        children=jnp.full((n, A), -1, jnp.int32),
+        parent=jnp.full((n,), -1, jnp.int32),
+        parent_action=jnp.zeros((n,), jnp.int32),
+        node_n=jnp.zeros((n,), jnp.int32).at[0].set(1),
+        node_w=jnp.zeros((n,)).at[0].set(_sane_value(value)),
+        node_m2=jnp.zeros((n,)),
+        value0=jnp.zeros((n,)).at[0].set(_sane_value(value)),
+        size=jnp.int32(1),
+    )
+    return tree
+
+
+def _sane_value(v):
+    return jnp.where(jnp.isfinite(v), jnp.clip(v, 0.0, 1.0), 0.5)
+
+
+def _masked_prior(policy: jax.Array, candidate: jax.Array) -> jax.Array:
+    """Mask to candidates + renormalize; uniform fallback when degenerate
+    (`pool/policy_helper.rs:86-134` normalize_policy)."""
+    p = jnp.where(candidate & jnp.isfinite(policy), policy, 0.0)
+    p = jnp.maximum(p, 0.0)
+    total = jnp.sum(p)
+    uniform = candidate / jnp.maximum(jnp.sum(candidate), 1)
+    return jnp.where(total > 1e-12, p / jnp.maximum(total, 1e-12), uniform)
+
+
+def _dirichlet_mix(rng, prior, candidate, beta, alpha):
+    """(1-b)*p + b*Dir(alpha) over candidate entries (`dirichlet.rs:27-77`)."""
+    g = jax.random.gamma(rng, alpha, (A,))
+    g = jnp.where(candidate, g, 0.0)
+    g = g / jnp.maximum(jnp.sum(g), 1e-12)
+    return jnp.where(candidate, (1.0 - beta) * prior + beta * g, prior)
+
+
+# ---------------------------------------------------------------------------
+# one simulation = select -> step+features (vmapped), net (batched),
+#                  insert+backup (vmapped)
+
+
+def _select(tree: Tree, cfg: SearchConfig):
+    """Walk root->leaf by PUCT; returns (leaf_node, action)."""
+
+    def puct(node):
+        child = tree.children[node]                       # [A]
+        child_n = jnp.where(child >= 0, tree.node_n[jnp.maximum(child, 0)], 0)
+        child_mean = _node_mean(tree, jnp.maximum(child, 0))
+        q_visited = 1.0 - child_mean                      # flip perspective
+        n_tot = tree.node_n[node].astype(jnp.float32)
+        fpu = jnp.where(node == 0, tree.value0[node],
+                        jnp.maximum(tree.value0[node]
+                                    - cfg.fpu_reduce.at(n_tot), 0.0))
+        q = jnp.where(child >= 0, q_visited, fpu)
+        bonus = cfg.uct_exp.at(n_tot) * jnp.sqrt(1.0 + n_tot) \
+            / (1.0 + child_n.astype(jnp.float32))
+        score = q + tree.prior[node] * bonus
+        score = jnp.where(tree.candidate[node] & jnp.isfinite(score),
+                          score, -jnp.inf)
+        any_cand = jnp.any(tree.candidate[node])
+        action = jnp.where(any_cand, jnp.argmax(score), A - 1)
+        return action
+
+    def cond(carry):
+        node, action, depth = carry
+        child = tree.children[node, action]
+        return (child >= 0) & (depth < tree.states.stones.shape[0])
+
+    def body(carry):
+        node, action, depth = carry
+        child = tree.children[node, action]
+        return child, puct(child), depth + 1
+
+    node0 = jnp.int32(0)
+    carry = (node0, puct(node0), jnp.int32(0))
+    node, action, _ = jax.lax.while_loop(cond, body, carry)
+    return node, action
+
+
+def _leaf_features(tree: Tree, cfg: SearchConfig):
+    """Select + env-step + feature-extract for one game."""
+    node, action = _select(tree, cfg)
+    parent_state = jax.tree_util.tree_map(lambda x: x[node], tree.states)
+    leaf_state = engine.step(parent_state, action)
+    feats = features.features_v1(leaf_state)
+    return node, action, leaf_state, feats
+
+
+def _insert_backup(tree: Tree, node, action, leaf_state: GoState,
+                   value, policy, use_scoring) -> Tree:
+    """Attach the evaluated leaf and back its value up to the root."""
+    new = tree.size  # next free slot; capacity = sims + 1 so always in range
+    value = _sane_value(value)
+
+    cand_std = standard_mask(leaf_state)
+    if use_scoring is None:  # static fast path: StandardSearch everywhere
+        candidate = cand_std
+    else:
+        cand_scr = scoring_mask(leaf_state)
+        candidate = jnp.where(use_scoring, cand_scr, cand_std)
+    prior = _masked_prior(policy, candidate)
+
+    states = jax.tree_util.tree_map(
+        lambda buf, leaf: buf.at[new].set(leaf), tree.states, leaf_state)
+    tree = tree.replace(
+        states=states,
+        prior=tree.prior.at[new].set(prior),
+        candidate=tree.candidate.at[new].set(candidate),
+        children=tree.children.at[node, action].set(new),
+        parent=tree.parent.at[new].set(node),
+        parent_action=tree.parent_action.at[new].set(action),
+        size=tree.size + 1,
+        value0=tree.value0.at[new].set(value),
+    )
+
+    # backup from leaf to root with perspective flips (tree.rs:125-159)
+    leaf_to_move = leaf_state.to_move
+
+    def cond(carry):
+        n, *_ = carry
+        return n >= 0
+
+    def body(carry):
+        n, node_n, node_w, node_m2 = carry
+        x = jnp.where(tree.states.to_move[n] == leaf_to_move,
+                      value, 1.0 - value)
+        cnt = node_n[n].astype(jnp.float32)
+        mean_prev = jnp.where(cnt > 0, node_w[n] / jnp.maximum(cnt, 1.0), x)
+        mean_next = (node_w[n] + x) / (cnt + 1.0)
+        node_m2 = node_m2.at[n].add((x - mean_prev) * (x - mean_next))
+        node_n = node_n.at[n].add(1)
+        node_w = node_w.at[n].add(x)
+        return tree.parent[n], node_n, node_w, node_m2
+
+    # seed the new leaf's stats, then walk up from its parent
+    node_n = tree.node_n.at[new].set(1)
+    node_w = tree.node_w.at[new].set(value)
+    _, node_n, node_w, node_m2 = jax.lax.while_loop(
+        cond, body, (node, node_n, node_w, tree.node_m2))
+    return tree.replace(node_n=node_n, node_w=node_w, node_m2=node_m2)
+
+
+# ---------------------------------------------------------------------------
+# batched search driver
+
+
+def init_trees(states: GoState, predictor: Predictor, rng: jax.Array,
+               cfg: SearchConfig, num_nodes: int,
+               use_scoring: jax.Array | None) -> Tree:
+    """Evaluate roots (batched) and allocate one tree per game."""
+    feats = jax.vmap(features.features_v1)(states)
+    value, policy = predictor(feats)
+    cand_std = jax.vmap(standard_mask)(states)
+    if use_scoring is None:
+        candidate = cand_std
+    else:
+        cand_scr = jax.vmap(scoring_mask)(states)
+        candidate = jnp.where(use_scoring[:, None], cand_scr, cand_std)
+    batch = value.shape[0]
+    rngs = jax.random.split(rng, batch)
+    return jax.vmap(
+        lambda s, v, p, c, r: init_tree(s, v, p, c, r, cfg, num_nodes)
+    )(states, value, policy, candidate, rngs)
+
+
+def run_search(trees: Tree, predictor: Predictor, cfg: SearchConfig,
+               num_sims: int, use_scoring: jax.Array) -> Tree:
+    """Run ``num_sims`` lockstep simulations across the whole game batch."""
+
+    def sim_step(_, trees):
+        node, action, leaf_states, feats = jax.vmap(
+            lambda t: _leaf_features(t, cfg))(trees)
+        value, policy = predictor(feats)
+        if use_scoring is None:
+            return jax.vmap(
+                lambda t, n, a, s, v, p: _insert_backup(t, n, a, s, v, p, None)
+            )(trees, node, action, leaf_states, value, policy)
+        return jax.vmap(
+            lambda t, n, a, s, v, p, u: _insert_backup(t, n, a, s, v, p, u)
+        )(trees, node, action, leaf_states, value, policy, use_scoring)
+
+    return jax.lax.fori_loop(0, num_sims, sim_step, trees)
+
+
+def search(states: GoState, predictor: Predictor, rng: jax.Array,
+           cfg: SearchConfig, num_sims: int,
+           use_scoring: jax.Array | None = None) -> Tree:
+    """Full search from a batch of root states; returns the trees.
+
+    ``use_scoring`` is an optional bool[B] selecting the ScoringSearch
+    candidate mask per game (None = StandardSearch everywhere, which skips
+    the Benson computations entirely).
+    """
+    trees = init_trees(states, predictor, rng, cfg, num_sims + 1, use_scoring)
+    return run_search(trees, predictor, cfg, num_sims, use_scoring)
+
+
+# ---------------------------------------------------------------------------
+# move selection and targets (per game; vmap for batches)
+
+
+def root_visits(tree: Tree) -> jax.Array:
+    """i32[362] visit counts of the root's children."""
+    child = tree.children[0]
+    return jnp.where(child >= 0, tree.node_n[jnp.maximum(child, 0)], 0)
+
+
+def root_q(tree: Tree) -> jax.Array:
+    """f32[362] mean value of each root edge, root-perspective win rate."""
+    child = tree.children[0]
+    mean = 1.0 - _node_mean(tree, jnp.maximum(child, 0))
+    return jnp.where(child >= 0, mean, tree.value0[0])
+
+
+def softmax_targets(tree: Tree) -> jax.Array:
+    """Normalized visit distribution (`tree.rs:1293-1306` softmax)."""
+    visits = root_visits(tree).astype(jnp.float32)
+    return visits / jnp.maximum(jnp.sum(visits), 1.0)
+
+
+def best_move(tree: Tree, rng: jax.Array, cfg: SearchConfig,
+              temperature: jax.Array):
+    """(action, value) — `tree.rs:1262-1282` best().
+
+    ``temperature`` <= 0.09 means greedy LCB selection; otherwise the move is
+    drawn by percentile-cutoff temperature sampling over visit counts.
+    """
+    visits = root_visits(tree)
+    child = tree.children[0]
+    q = root_q(tree)
+
+    count = visits.astype(jnp.float32)
+    std = jnp.sqrt(tree.node_m2[jnp.maximum(child, 0)]
+                   / jnp.maximum(count, 1.0))
+    z = cfg.critical_value.at(tree.node_n[0].astype(jnp.float32))
+    lcb = normal_lcb(q, std, jnp.maximum(visits, 1), z)
+
+    eligible = visits >= MIN_LCB_VISITS
+    # greedy: LCB among eligible children if any, else count with prior ties
+    greedy_score = jnp.where(
+        jnp.any(eligible),
+        jnp.where(eligible, lcb, -jnp.inf),
+        count + 1e-3 * tree.prior[0])
+    greedy_score = jnp.where(visits > 0, greedy_score, -jnp.inf)
+    any_visit = jnp.any(visits > 0)
+    greedy_action = jnp.where(any_visit, jnp.argmax(greedy_score), A - 1)
+
+    sampled_action = choose(rng, count[None, :], cfg.cutoff_percentile,
+                            float(cfg.temperature))[0]
+    action = jnp.where(temperature <= 9e-2, greedy_action, sampled_action)
+    value = q[action]
+    return action.astype(jnp.int32), value

@@ -1,0 +1,97 @@
+"""Full-search self-play: batched MCTS games (the reference's default path).
+
+Replaces `src/libdg_mcts/self_play.rs:423-499` (`self_play_one` with
+``num_rollout > 1``).  All games run in lockstep: every move performs one
+batched search (`mcts.search`) across the whole game batch, then one batched
+env step.  Reference semantics preserved:
+
+- passing forbidden until scorable; ScoringSearch masks apply in-tree for
+  those games (`self_play.rs:434-436`, `options.rs`);
+- dirichlet root noise, PUCT with schedule-interpolated constants;
+- temperature `choose` over visit counts for the first 8 moves, LCB-greedy
+  afterwards (`lib.rs:162-200`, `tree.rs:1262-1282`);
+- per-move records carry ``TV[n]P[b85 visit softmax]V[value]``
+  (`self_play.rs:187-214` `Played::from_mcts`);
+- games end on two consecutive passes or the 722-move cap.
+
+Deviation (documented): the reference scales per-player rollout counts by a
+winrate moving average (`self_play.rs:234-241`) — lockstep batching uses a
+fixed ``num_rollout`` per move instead.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SearchConfig, SelfPlayConfig
+from ..go import benson as bn
+from ..go import engine
+from ..mcts import search as S
+from ..mcts.predictor import Predictor, symmetrize
+from .policy import _final_territory
+from .records import Played, game_result_sgf
+
+
+def _build_search_move_fn(predictor: Predictor, search_cfg: SearchConfig,
+                          num_sims: int, temperature_moves: int):
+    @jax.jit
+    def move_fn(states: engine.GoState, rng: jax.Array):
+        scorable = jax.vmap(bn.is_scorable)(states)
+        use_scoring = ~scorable & ~states.done
+        k_search, k_move = jax.random.split(rng)
+        trees = S.search(states, predictor, k_search, search_cfg, num_sims,
+                         use_scoring)
+        temp = jnp.where(states.move_count < temperature_moves,
+                         jnp.float32(search_cfg.temperature), 0.0)
+        batch = states.stones.shape[0]
+        move, value = jax.vmap(
+            lambda t, r, tm: S.best_move(t, r, search_cfg, tm)
+        )(trees, jax.random.split(k_move, batch), temp)
+        move = jnp.where(states.done, engine.PASS, move)
+        targets = jax.vmap(S.softmax_targets)(trees)
+        new_states = engine.step_batch(states, move)
+        return new_states, move, value, targets
+
+    return move_fn
+
+
+def search_self_play(predictor: Predictor, cfg: SelfPlayConfig,
+                     search_cfg: SearchConfig | None = None,
+                     seed: int = 0, sym_average: bool = False) -> list[str]:
+    """Play ``cfg.num_games`` MCTS games to completion; returns SGF lines."""
+    search_cfg = search_cfg or SearchConfig()
+    if sym_average:
+        predictor = symmetrize(predictor)
+    states = engine.new_states(cfg.num_games, komi=cfg.komi,
+                               history_len=cfg.history_len)
+    move_fn = _build_search_move_fn(predictor, search_cfg, cfg.num_rollout,
+                                    cfg.temperature_moves)
+    key = jax.random.PRNGKey(seed)
+
+    records = []
+    for _ in range(cfg.max_moves):
+        key, sub = jax.random.split(key)
+        active = ~np.asarray(states.done)
+        to_move = np.asarray(states.to_move)
+        states, move, value, targets = move_fn(states, sub)
+        records.append((active, np.asarray(move), np.asarray(value), to_move,
+                        np.asarray(targets, dtype=np.float16)))
+        if bool(np.all(np.asarray(states.done))):
+            break
+
+    territory = np.asarray(_final_territory(states))
+    games = []
+    for g in range(cfg.num_games):
+        sgf_moves = []
+        for active, move, value, to_move, targets in records:
+            if not active[g]:
+                break
+            sgf_moves.append(Played(
+                to_move=int(to_move[g]), point=int(move[g]),
+                value=float(value[g]), num_rollout=cfg.num_rollout,
+                softmax=targets[g]).to_sgf())
+        games.append(game_result_sgf(
+            "".join(sgf_moves), komi=cfg.komi, territory=territory[g]))
+    return games

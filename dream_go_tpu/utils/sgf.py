@@ -71,21 +71,29 @@ def parse_line(line: str) -> SgfGame | None:
                 except ValueError:
                     pass
 
-    # cut off any variation: keep the main line only
-    main = line
-    depth = 0
+    # keep the main line only: parens open variations, but ONLY outside
+    # property values — b85 payloads (P[...]) legally contain '(' and ')'
+    # (`sgf.rs:242-267` variation-stack unwinding)
     out_chars = []
+    depth = 0
+    in_prop = False
     for ch in line:
+        if in_prop:
+            if depth <= 1:
+                out_chars.append(ch)
+            if ch == "]":
+                in_prop = False
+            continue
         if ch == "(":
             depth += 1
-            if depth >= 2:
-                continue
-        elif ch == ")":
+            continue
+        if ch == ")":
             depth -= 1
             continue
-        if depth >= 2:
-            continue
-        out_chars.append(ch)
+        if ch == "[":
+            in_prop = True
+        if depth <= 1:
+            out_chars.append(ch)
     main = "".join(out_chars)
 
     moves: list[SgfMove] = []
