@@ -1,0 +1,118 @@
+"""Benchmark harness: prints ONE JSON line with the headline metric.
+
+Headline (BASELINE.json): env-steps/s/chip for batched self-play — 4096
+parallel 19x19 boards stepped in lockstep (full legality incl. super-ko +
+uniform-random move sampling + capture/merge updates), the vectorized
+replacement for the reference's `--bench` MCTS/feature throughput
+(`src/dg/bench/`).  ``vs_baseline`` is measured against the 100k
+env-steps/s/chip north star.
+
+Secondary metrics (stderr): NN forwards/s on the flagship 9x128 tower and
+feature extractions/s.
+
+Run plainly (``python bench.py``) to use the real TPU chip via the axon
+platform; pass ``--cpu`` for a local smoke run.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    import jax
+
+    if "--cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dream_go_tpu.go import engine
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}", file=sys.stderr)
+
+    batch = 4096 if "--cpu" not in sys.argv else 256
+    steps_per_call = 32
+
+    def one_step(carry, _):
+        states, key = carry
+        key, sub = jax.random.split(key)
+        mask = engine.legal_mask_batch(states)[:, :361]
+        logits = jnp.where(mask, 0.0, -jnp.inf)
+        moves = jax.random.categorical(sub, logits, axis=-1)
+        moves = jnp.where(jnp.any(mask, axis=1), moves, engine.PASS)
+        states = engine.step_batch(states, moves.astype(jnp.int32))
+        return (states, key), None
+
+    @jax.jit
+    def run_steps(states, key):
+        (states, key), _ = jax.lax.scan(one_step, (states, key),
+                                        None, length=steps_per_call)
+        return states, key
+
+    states = engine.new_states(batch)
+    key = jax.random.PRNGKey(0)
+
+    def sync(states):
+        # force a real device->host fetch: async dispatch through remote
+        # platforms can make block_until_ready return early
+        return int(np.asarray(jnp.sum(states.move_count)))
+
+    # warm up / compile
+    t0 = time.time()
+    states, key = run_steps(states, key)
+    sync(states)
+    print(f"compile+first call: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    # measure (fetch-synced)
+    calls = 6
+    t0 = time.time()
+    for _ in range(calls):
+        states, key = run_steps(states, key)
+    total_moves = sync(states)
+    dt = max(time.time() - t0, 1e-9)
+    env_steps = batch * steps_per_call * calls
+    steps_per_s = env_steps / dt
+    print(f"{env_steps} env steps in {dt:.3f}s "
+          f"(total moves on device: {total_moves})", file=sys.stderr)
+
+    # secondary: NN forward throughput on the flagship tower
+    try:
+        from dream_go_tpu.config import ModelConfig
+        from dream_go_tpu.models import tower as T
+
+        cfg = ModelConfig()
+        params, stats = T.init_tower(cfg, jax.random.PRNGKey(0))
+        fwd_batch = 1024 if "--cpu" not in sys.argv else 32
+
+        @jax.jit
+        def fwd(x):
+            out, _ = T.apply_tower(cfg, params, stats, x)
+            return out.policy_logits
+
+        x = jnp.zeros((fwd_batch, 19, 19, cfg.num_features))
+        fwd(x).block_until_ready()
+        t0 = time.time()
+        n = 8
+        for _ in range(n):
+            r = fwd(x)
+        r.block_until_ready()
+        fps = fwd_batch * n / (time.time() - t0)
+        print(f"nn forward/s (9x128, batch {fwd_batch}): {fps:,.0f}",
+              file=sys.stderr)
+    except Exception as e:  # secondary metrics must not break the bench
+        print(f"forward bench skipped: {e}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "env_steps_per_sec_per_chip",
+        "value": round(steps_per_s, 1),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_s / 100_000.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

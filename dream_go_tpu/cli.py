@@ -1,0 +1,172 @@
+"""Command-line front-end: the `dream_go` binary equivalent.
+
+Replaces `src/dg/main.rs:31-90`: ``--self-play [--ex-it]``, ``--reanalyze``,
+``--bench``, ``--gtp`` (default), plus trainer procedures ``--start`` /
+``--resume`` / ``--verify`` / ``--dump`` (from
+`contrib/trainer/dream_tf/__main__.py:71-78`).  Self-play and reanalyze write
+one SGF per line to stdout with progress on stderr, byte-compatible with the
+reference pipeline (`README.md:63-74`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _load_predictor(args):
+    import jax
+
+    from .config import ModelConfig
+    from .mcts import predictor as P
+    from .models import params as MP
+    from .models import tower as T
+
+    if args.weights:
+        with open(args.weights) as fh:
+            cfg, params = MP.load_json(fh.read())
+        params = jax.tree_util.tree_map(jax.numpy.asarray, params)
+        return P.net_predictor(cfg, params, folded=True,
+                               softmax_temp=args.softmax_temperature)
+    # no weights: random-init net (useful for smoke tests / first generation)
+    cfg = ModelConfig(num_channels=args.num_channels,
+                      num_blocks=args.num_blocks,
+                      num_samples=args.num_samples)
+    params, stats = T.init_tower(cfg, jax.random.PRNGKey(0))
+    return P.net_predictor(cfg, params, stats,
+                           softmax_temp=args.softmax_temperature)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="dream_go_tpu")
+    mode = parser.add_mutually_exclusive_group()
+    mode.add_argument("--self-play", type=int, nargs="?", const=1,
+                      metavar="N", help="generate N self-play games")
+    mode.add_argument("--policy-play", type=int, nargs="?", const=1,
+                      metavar="N", help="generate N policy-only games")
+    mode.add_argument("--reanalyze", nargs="+", metavar="FILE",
+                      help="re-annotate games from SGF files")
+    mode.add_argument("--bench", action="store_true")
+    mode.add_argument("--gtp", action="store_true", default=False)
+    mode.add_argument("--start", metavar="DATA", help="train from big SGF")
+    mode.add_argument("--resume", metavar="CKPT", help="resume training")
+    mode.add_argument("--verify", metavar="DATA", help="eval on big SGF")
+    mode.add_argument("--dump", action="store_true",
+                      help="dump weights JSON to stdout")
+
+    parser.add_argument("--weights", help="dream_go.json weights file")
+    parser.add_argument("--checkpoint", help="orbax checkpoint dir")
+    parser.add_argument("--ex-it", action="store_true")
+    parser.add_argument("--num-rollout", type=int, default=1600)
+    parser.add_argument("--num-games", type=int, default=128)
+    parser.add_argument("--num-channels", type=int, default=128)
+    parser.add_argument("--num-blocks", type=int, default=9)
+    parser.add_argument("--num-samples", type=int, default=8)
+    parser.add_argument("--batch-size", type=int, default=2048)
+    parser.add_argument("--softmax-temperature", type=float, default=1.0)
+    parser.add_argument("--komi", type=float, default=7.5)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--steps", type=int, default=1000)
+    args = parser.parse_args(argv)
+
+    from .config import SearchConfig, SelfPlayConfig
+
+    if args.bench:
+        import bench
+        bench.main()
+        return
+
+    if args.start or args.resume or args.verify or args.dump:
+        _trainer_procedures(args)
+        return
+
+    if args.reanalyze:
+        from .selfplay.reanalyze import ex_it as run_ex_it
+        from .selfplay.reanalyze import reanalyze as run_reanalyze
+        predictor = _load_predictor(args)
+        lines = []
+        for path in args.reanalyze:
+            with open(path) as fh:
+                lines.extend(l.strip() for l in fh if l.strip())
+        fn = run_ex_it if args.ex_it else run_reanalyze
+        for line in fn(lines, predictor, SearchConfig(),
+                       num_sims=args.num_rollout, seed=args.seed):
+            print(line)
+        return
+
+    if args.self_play or args.policy_play:
+        predictor = _load_predictor(args)
+        total = args.self_play or args.policy_play
+        done = 0
+        batch = min(total, args.num_games)
+        while done < total:
+            n = min(batch, total - done)
+            cfg = SelfPlayConfig(num_games=n, num_rollout=args.num_rollout,
+                                 komi=args.komi, ex_it=args.ex_it)
+            if args.policy_play or args.num_rollout <= 1:
+                from .selfplay.policy import PolicyPlayer, policy_self_play
+                games = policy_self_play(
+                    PolicyPlayer(predictor), cfg, seed=args.seed + done)
+            else:
+                from .selfplay.search_play import search_self_play
+                games = search_self_play(
+                    predictor, cfg,
+                    SearchConfig(num_rollout=args.num_rollout),
+                    seed=args.seed + done)
+            if args.ex_it:
+                from .selfplay.reanalyze import ex_it as run_ex_it
+                games = run_ex_it(games, predictor, SearchConfig(),
+                                  num_sims=args.num_rollout,
+                                  seed=args.seed + done)
+            for line in games:
+                print(line, flush=True)
+            done += n
+            print("." * n, file=sys.stderr, flush=True)
+        return
+
+    # default: GTP server
+    from .gtp import GtpEngine, run_server
+    predictor = _load_predictor(args)
+    run_server(GtpEngine(predictor, SearchConfig(),
+                         num_rollout=args.num_rollout))
+
+
+def _trainer_procedures(args):
+    from .config import ModelConfig, TrainConfig
+    from .train.pipeline import ExampleSource
+    from .train.train_loop import Trainer
+
+    tcfg = TrainConfig(batch_size=args.batch_size)
+    if args.resume or (args.checkpoint and not args.start):
+        trainer = Trainer.restore(args.checkpoint or args.resume, tcfg)
+    else:
+        mcfg = ModelConfig(num_channels=args.num_channels,
+                           num_blocks=args.num_blocks,
+                           num_samples=args.num_samples)
+        trainer = Trainer.create(mcfg, tcfg, seed=args.seed)
+
+    if args.dump:
+        from .models import params as MP
+        print(MP.dump_json(trainer.model_cfg, trainer.state.params,
+                           trainer.state.batch_stats))
+        return
+
+    data_path = args.start or args.resume or args.verify
+    with open(data_path) as fh:
+        lines = [l.strip() for l in fh if l.strip()]
+    source = ExampleSource(lines, batch_size=args.batch_size, seed=args.seed)
+
+    if args.verify:
+        metrics = trainer.evaluate(source, num_batches=32)
+        import json
+        print(json.dumps(metrics))
+        return
+
+    trainer.fit(source, num_steps=args.steps,
+                log_fn=lambda msg: print(msg, file=sys.stderr))
+    if args.checkpoint:
+        trainer.save(args.checkpoint)
+
+
+if __name__ == "__main__":
+    main()

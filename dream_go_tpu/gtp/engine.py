@@ -1,0 +1,285 @@
+"""GTP engine state machine (transport-agnostic).
+
+Replaces `src/dg/gtp/mod.rs:157-420`: all 24 reference commands, including
+kgs-genmove_cleanup (ScoringSearch), reg_genmove, gomill extensions, undo,
+loadsgf, final_score / final_status_list.  `GtpEngine.handle(line)` returns
+the GTP response string; the stdin loop lives in `server.py`.
+
+Search: every genmove runs the batched MCTS with batch 1 (RolloutLimit; a
+time budget from `time_settings` scales the rollout count).  Resigns below a
+10% win rate (`gtp/mod.rs:389-392`).  Tree reuse across moves and background
+pondering are not yet implemented (reference: `ponder_service.rs`).
+"""
+
+from __future__ import annotations
+
+import time as _time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SearchConfig
+from ..go import benson as bn
+from ..go import engine as go
+from ..mcts import predictor as P
+from ..mcts import search as S
+from ..selfplay.greedy import greedy_rollout
+from ..utils import coords, sgf
+from .time_settings import TimeSettings
+
+_VERSION = "0.1.0"
+
+
+class GtpEngine:
+    def __init__(self, predictor: P.Predictor | None = None,
+                 search_cfg: SearchConfig | None = None,
+                 num_rollout: int = 800):
+        self.predictor = predictor or P.random_predictor()
+        self.search_cfg = search_cfg or SearchConfig()
+        self.num_rollout = num_rollout
+        self.komi = 7.5
+        self.history: list[go.GoState] = [go.new_state(self.komi)]
+        self.time_settings = TimeSettings()
+        self.cpu_time = 0.0
+        self.last_explain = ""
+        self.finished = False
+        self._search_fn = {}
+
+    # -- board manipulation --------------------------------------------------
+
+    @property
+    def state(self) -> go.GoState:
+        return self.history[-1]
+
+    def _clear(self):
+        self.history = [go.new_state(self.komi)]
+        self.last_explain = ""
+
+    def _play(self, color: int, point: int) -> bool:
+        state = self.state
+        if point != coords.PASS:
+            mask = np.asarray(jax.jit(go.legal_mask)(
+                state.replace(to_move=jnp.int8(color))))
+            if not mask[point]:
+                return False
+        state = state.replace(to_move=jnp.int8(color))
+        self.history.append(jax.jit(go.step)(state, jnp.int32(point)))
+        return True
+
+    # -- search --------------------------------------------------------------
+
+    def _sims_for_budget(self, color: int) -> int:
+        budget = self.time_settings.budget(color)
+        if budget == float("inf"):
+            return self.num_rollout
+        # assume ~2ms per simulation at batch 1 as a conservative floor
+        return max(16, min(self.num_rollout, int(budget / 0.002)))
+
+    def _genmove(self, color: int, cleanup: bool) -> tuple[int, float]:
+        t0 = _time.time()
+        state = self.state.replace(to_move=jnp.int8(color))
+        states = jax.tree_util.tree_map(lambda x: x[None], state)
+        sims = self._sims_for_budget(color)
+        key = (sims, cleanup)
+        if key not in self._search_fn:
+            use_scoring = jnp.ones((1,), bool) if cleanup else None
+            self._search_fn[key] = jax.jit(
+                lambda st, r: S.search(st, self.predictor, r,
+                                       self.search_cfg, sims, use_scoring))
+        trees = self._search_fn[key](states, jax.random.PRNGKey(
+            int(_time.time() * 1e3) % (2**31)))
+        move, value = jax.vmap(
+            lambda t, r: S.best_move(t, r, self.search_cfg, jnp.float32(0.0))
+        )(trees, jax.random.split(jax.random.PRNGKey(1), 1))
+        move, value = int(move[0]), float(value[0])
+        visits = np.asarray(jax.vmap(S.root_visits)(trees))[0]
+        q = np.asarray(jax.vmap(S.root_q)(trees))[0]
+        top = np.argsort(-visits)[:5]
+        self.last_explain = " ".join(
+            f"{coords.to_gtp(int(i))}:{int(visits[i])}({q[i]:.2f})"
+            for i in top if visits[i] > 0)
+        self.cpu_time += _time.time() - t0
+        return move, value
+
+    # -- scoring -------------------------------------------------------------
+
+    def _status(self):
+        state = self.state
+        states = jax.tree_util.tree_map(lambda x: x[None], state)
+        finished = greedy_rollout(states, self.predictor, max_moves=722)
+        status, terr = jax.vmap(bn.stone_status)(
+            states.stones, states.chain_id,
+            finished.stones, finished.chain_id)
+        return np.asarray(status)[0], np.asarray(terr)[0]
+
+    def _final_score(self) -> str:
+        _, terr = self._status()
+        black = float((terr == 1).sum())
+        white = float((terr == 2).sum()) + self.komi
+        if black > white:
+            return f"B+{black - white:.1f}"
+        if white > black:
+            return f"W+{white - black:.1f}"
+        return "0"
+
+    # -- command dispatch ----------------------------------------------------
+
+    def handle(self, line: str) -> tuple[str, bool]:
+        """Returns (response line incl. =/? prefix, should_quit)."""
+        line = line.split("#")[0].strip()
+        if not line:
+            return "", False
+        parts = line.split()
+        ident = ""
+        if parts[0].isdigit():
+            ident = parts[0]
+            parts = parts[1:]
+        if not parts:
+            return f"?{ident} syntax error", False
+        cmd, args = parts[0].lower(), parts[1:]
+
+        try:
+            quit_, msg = self._dispatch(cmd, args)
+            return f"={ident} {msg}".rstrip() + "\n", quit_
+        except Exception as exc:  # noqa: BLE001 - GTP reports all errors
+            return f"?{ident} {exc}\n", False
+
+    KNOWN = [
+        "protocol_version", "name", "version", "gomill-describe_engine",
+        "gomill-cpu_time", "boardsize", "clear_board", "komi", "play",
+        "list_commands", "known_command", "showboard", "genmove",
+        "reg_genmove", "kgs-genmove_cleanup", "gomill-explain_last_move",
+        "undo", "time_settings", "kgs-time_settings", "time_left", "quit",
+        "final_score", "final_status_list", "loadsgf",
+    ]
+
+    def _dispatch(self, cmd: str, args: list[str]) -> tuple[bool, str]:
+        if cmd == "protocol_version":
+            return False, "2"
+        if cmd == "name":
+            return False, "dream_go_tpu"
+        if cmd == "version":
+            return False, _VERSION
+        if cmd == "gomill-describe_engine":
+            return False, f"dream_go_tpu {_VERSION} (TPU-native)"
+        if cmd == "gomill-cpu_time":
+            return False, f"{self.cpu_time:.4f}"
+        if cmd == "gomill-explain_last_move":
+            return False, self.last_explain
+        if cmd == "list_commands":
+            return False, "\n".join(self.KNOWN)
+        if cmd == "known_command":
+            return False, "true" if args and args[0] in self.KNOWN else "false"
+        if cmd == "quit":
+            return True, ""
+        if cmd == "boardsize":
+            if args and int(args[0]) != 19:
+                raise ValueError("unacceptable size")
+            return False, ""
+        if cmd == "clear_board":
+            self._clear()
+            return False, ""
+        if cmd == "komi":
+            self.komi = float(args[0])
+            self.history = [st.replace(komi=jnp.float32(self.komi))
+                            for st in self.history]
+            return False, ""
+        if cmd == "play":
+            color = 1 if args[0].lower().startswith("b") else 2
+            point = coords.from_gtp(args[1])
+            if not self._play(color, point):
+                raise ValueError("illegal move")
+            return False, ""
+        if cmd == "undo":
+            if len(self.history) <= 1:
+                raise ValueError("cannot undo")
+            self.history.pop()
+            return False, ""
+        if cmd == "showboard":
+            return False, "\n" + self._render_board()
+        if cmd in ("genmove", "reg_genmove", "kgs-genmove_cleanup"):
+            color = 1 if args[0].lower().startswith("b") else 2
+            move, value = self._genmove(color, cmd == "kgs-genmove_cleanup")
+            if value < 0.1 and cmd == "genmove":  # gtp/mod.rs:389-392
+                return False, "resign"
+            vertex = coords.to_gtp(move)
+            if cmd != "reg_genmove":
+                self._play(color, move)
+            return False, vertex
+        if cmd == "final_score":
+            return False, self._final_score()
+        if cmd == "final_status_list":
+            return False, self._final_status_list(args[0] if args else "alive")
+        if cmd == "time_settings":
+            main, byo, stones = (float(args[0]), float(args[1]),
+                                 int(args[2]))
+            if byo > 0 and stones > 0:
+                self.time_settings.set_canadian(main, byo, stones)
+            elif stones == 0 and byo > 0:
+                self.time_settings.set_none()
+            else:
+                self.time_settings.set_absolute(main)
+            return False, ""
+        if cmd == "kgs-time_settings":
+            kind = args[0]
+            if kind == "none":
+                self.time_settings.set_none()
+            elif kind == "absolute":
+                self.time_settings.set_absolute(float(args[1]))
+            elif kind == "canadian":
+                self.time_settings.set_canadian(float(args[1]),
+                                               float(args[2]), int(args[3]))
+            elif kind == "byoyomi":
+                self.time_settings.set_byo_yomi(float(args[1]),
+                                               float(args[2]), int(args[3]))
+            else:
+                raise ValueError("unknown time system")
+            return False, ""
+        if cmd == "time_left":
+            color = 1 if args[0].lower().startswith("b") else 2
+            self.time_settings.time_left(color, float(args[1]), int(args[2]))
+            return False, ""
+        if cmd == "loadsgf":
+            return False, self._loadsgf(args)
+        raise ValueError("unknown command")
+
+    def _final_status_list(self, which: str) -> str:
+        status, terr = self._status()
+        stones = np.asarray(self.state.stones)
+        sel = {
+            "alive": status == bn.STATUS_ALIVE,
+            "dead": status == bn.STATUS_DEAD,
+            "seki": status == bn.STATUS_SEKI,
+            "black_territory": terr == 1,
+            "white_territory": terr == 2,
+        }.get(which)
+        if sel is None:
+            raise ValueError("unknown status")
+        if which in ("alive", "dead", "seki"):
+            sel = sel & (stones != 0)
+        return " ".join(coords.to_gtp(int(p)) for p in np.flatnonzero(sel))
+
+    def _loadsgf(self, args: list[str]) -> str:
+        path = args[0]
+        max_moves = int(args[1]) if len(args) > 1 else 10**9
+        with open(path) as fh:
+            game = sgf.parse_line(fh.read().replace("\n", ""))
+        if game is None:
+            raise ValueError("cannot load file")
+        self.komi = game.komi
+        self._clear()
+        for i, mv in enumerate(game.moves):
+            if i >= max_moves:
+                break
+            self._play(mv.color, mv.point)
+        return ""
+
+    def _render_board(self) -> str:
+        stones = np.asarray(self.state.stones).reshape(19, 19)
+        lines = []
+        for y in range(19):
+            row = " ".join(".XO"[c] for c in stones[y])
+            lines.append(f"{19 - y:2d} {row}")
+        lines.append("   " + " ".join("ABCDEFGHJKLMNOPQRST"))
+        return "\n".join(lines)

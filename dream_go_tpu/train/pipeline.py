@@ -1,0 +1,196 @@
+"""Input pipeline: big-SGF lines -> training example batches.
+
+Replaces the reference's TextLineDataset + C++/Rust extraction stack
+(`contrib/trainer/dream_tf/input_fn.py`, `libdg_tf/sgf_to_features.cc`,
+`src/libdg_go/utils/extract_example.rs`): SGF parsing happens on the host,
+board replay + feature extraction + D8 augmentation run vectorized on device.
+
+Reference semantics preserved:
+- one example per game line per visit, position drawn with the value-weighted
+  distribution favouring |v - 0.5| close to 0 (`extract_example.rs:235-266`);
+- when the game is scored but lacks the final passes, two passes are appended
+  (`extract_example.rs:199-214`); games shorter than 30 moves are dropped
+  (`:216-219`);
+- policy label = recorded search distribution (P[...]) with the residual mass
+  added at the played move, else a one-hot of the played move
+  (`sgf_to_features.cc:240-241`);
+- value label = +1 if the player to move won else -1; ownership labels are
+  +-1 relative to the player to move from TB/TW (`extract_example.rs:329-371`);
+- random D8 augmentation of features/policy/ownership and 5% history-plane
+  dropout (`input_fn.py:101-138`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..go import engine, features
+from ..go.topology import SYM
+from ..utils import sgf
+from ..selfplay.replay import states_at
+
+
+@dataclasses.dataclass
+class ParsedGame:
+    moves: np.ndarray          # int32[T]
+    colors: np.ndarray         # int8[T] 1/2 per move
+    values: np.ndarray         # f32[T] to-move win rate (nan if absent)
+    policies: list             # list[None | f16[362]]
+    winner: int
+    komi: float
+    ownership: np.ndarray      # int8[361] 0/1/2 (absolute colors)
+
+
+def parse_game(line: str) -> ParsedGame | None:
+    game = sgf.parse_line(line)
+    if game is None:
+        return None
+    moves = [m.point for m in game.moves]
+    colors = [m.color for m in game.moves]
+    values, policies = [], []
+    pass_count = 0
+    for m in game.moves:
+        pass_count = pass_count + 1 if m.point == engine.PASS else 0
+        if m.value is None:
+            values.append(np.nan)
+        else:  # V[] is black-perspective in [-1, 1]
+            wr = (m.value + 1.0) / 2.0
+            values.append(wr if m.color == 1 else 1.0 - wr)
+        policies.append(m.policy)
+    # append missing final passes on scored games
+    if game.score is not None:
+        while pass_count < 2:
+            moves.append(engine.PASS)
+            colors.append(3 - colors[-1] if colors else 1)
+            values.append(np.nan)
+            policies.append(None)
+            pass_count += 1
+    if len(moves) < 30:
+        return None
+    ownership = np.zeros(361, np.int8)
+    ownership[game.black_territory] = 1
+    ownership[game.white_territory] = 2
+    return ParsedGame(
+        moves=np.asarray(moves, np.int32),
+        colors=np.asarray(colors, np.int8),
+        values=np.asarray(values, np.float32),
+        policies=policies, winner=game.winner, komi=game.komi,
+        ownership=ownership)
+
+
+def choose_position(game: ParsedGame, rng: np.random.Generator) -> int:
+    """Value-weighted position choice (`extract_example.rs:235-266`).
+
+    When any position has a recorded policy, only those are candidates."""
+    has_policy = any(p is not None for p in game.policies)
+    cand = [i for i in range(len(game.moves))
+            if not has_policy or game.policies[i] is not None]
+    w = np.empty(len(cand))
+    for j, i in enumerate(cand):
+        v = game.values[i]
+        w[j] = 0.5 if np.isnan(v) else 0.6 - abs(v - 0.5)
+    w = np.maximum(w, 1e-6)
+    return int(cand[rng.choice(len(cand), p=w / w.sum())])
+
+
+def make_labels(game: ParsedGame, pos: int) -> dict:
+    """Host-side labels for the example at position ``pos``."""
+    color = int(game.colors[pos])
+    policy = np.zeros(362, np.float32)
+    blob = game.policies[pos]
+    if blob is not None:
+        policy[:] = np.asarray(blob[:362], np.float32)
+    total = float(policy.sum())
+    policy[game.moves[pos]] += max(0.0, 1.0 - total)
+
+    value = 1.0 if game.winner == color else -1.0
+    if game.winner == 0:
+        value = 0.0
+
+    own = np.zeros(361, np.float32)
+    own[game.ownership == color] = 1.0
+    own[game.ownership == (3 - color)] = -1.0
+    return dict(policy=policy, value=np.float32(value), ownership=own,
+                has_ownership=np.float32(1.0 if game.ownership.any() else 0.0))
+
+
+class ExampleSource:
+    """Iterates shuffled example batches from big-SGF lines."""
+
+    def __init__(self, lines: list[str], batch_size: int, seed: int = 0,
+                 history_len: int = 16, augment: bool = True):
+        self.games = [g for g in (parse_game(l) for l in lines)
+                      if g is not None]
+        if not self.games:
+            raise ValueError("no usable games")
+        self.batch_size = batch_size
+        self.rng = np.random.default_rng(seed)
+        self.history_len = history_len
+        self.augment = augment
+        self._key = jax.random.PRNGKey(seed)
+
+    def batches(self, num_batches: int):
+        for _ in range(num_batches):
+            idx = self.rng.integers(0, len(self.games), self.batch_size)
+            yield self._make_batch([self.games[i] for i in idx])
+
+    def _make_batch(self, games: list[ParsedGame]):
+        b = self.batch_size
+        t_max = max(len(g.moves) for g in games)
+        t_max = ((t_max + 127) // 128) * 128
+        moves = np.full((b, t_max), engine.PASS, np.int32)
+        targets = np.zeros(b, np.int32)
+        komi = np.zeros(b, np.float32)
+        labels = dict(policy=np.zeros((b, 362), np.float32),
+                      value=np.zeros(b, np.float32),
+                      ownership=np.zeros((b, 361), np.float32),
+                      has_ownership=np.zeros(b, np.float32))
+        for row, g in enumerate(games):
+            pos = choose_position(g, self.rng)
+            moves[row, :len(g.moves)] = g.moves
+            targets[row] = pos
+            komi[row] = g.komi
+            ex = make_labels(g, pos)
+            for k in labels:
+                labels[k][row] = ex[k]
+        self._key, sub = jax.random.split(self._key)
+        feats, labels = _device_batch(
+            jnp.asarray(moves), jnp.asarray(targets), jnp.asarray(komi),
+            {k: jnp.asarray(v) for k, v in labels.items()},
+            sub, self.history_len, self.augment)
+        return feats, labels
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6))
+def _device_batch(moves, targets, komi, labels, rng, history_len, augment):
+    """Replay -> features -> random D8 augmentation + history dropout."""
+    states = states_at(moves, targets, komi, history_len)
+    feats = jax.vmap(features.features_v1)(states)        # [B, 19, 19, 32]
+    if not augment:
+        return feats, labels
+    b = feats.shape[0]
+    k_sym, k_hist = jax.random.split(rng)
+    sym = jax.random.randint(k_sym, (b,), 0, 8)
+    perm = jnp.asarray(SYM)[sym]                          # [B, 361]
+
+    flat = feats.reshape(b, 361, feats.shape[-1])
+    feats = jnp.take_along_axis(flat, perm[:, :, None], axis=1) \
+        .reshape(b, 19, 19, feats.shape[-1])
+
+    pol, pol_pass = labels["policy"][:, :361], labels["policy"][:, 361:]
+    pol = jnp.take_along_axis(pol, perm, axis=1)
+    own = jnp.take_along_axis(labels["ownership"], perm, axis=1)
+    labels = dict(labels, policy=jnp.concatenate([pol, pol_pass], 1),
+                  ownership=own)
+
+    # history-plane dropout: zero the last-move planes (3:5) 5% of the time
+    drop = jax.random.uniform(k_hist, (b,)) < 0.05
+    hist_mask = jnp.ones((32,)).at[3:5].set(0.0)
+    feats = jnp.where(drop[:, None, None, None],
+                      feats * hist_mask, feats)
+    return feats, labels

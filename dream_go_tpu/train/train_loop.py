@@ -1,0 +1,199 @@
+"""Train state, jitted train/eval steps, checkpointing, and the driver loop.
+
+Replaces the TF Estimator scaffolding (`contrib/trainer/dream_tf/
+__main__.py:132-272`, `model_fn.py:84-130`):
+
+- optimizer: Adam at the scheduler's learning rate, plus the reference's
+  *decoupled* L2 — conv/dense kernels lose ``1e-4 * w`` per step independent
+  of the learning rate (`model_fn.py:104` ``assign_sub(var, 1e-4 * var)``;
+  only the WEIGHTS collection, i.e. kernels, not biases/alpha);
+- bf16 compute with fp32 params and fp32 gradients (no loss scale needed on
+  TPU, unlike the reference's fixed 128 for fp16);
+- batch-norm running stats updated in the same step (UPDATE_OPS parity);
+- plateau LR scheduling + early stop via
+  :class:`~dream_go_tpu.train.lr_schedule.LearningRateScheduler`;
+- checkpoints via orbax (replaces TF checkpoint dirs `models/<ts>/`), with
+  hyperparameters stored alongside so ``--resume`` can recover them
+  (`__main__.py:93-104`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..config import ModelConfig, TrainConfig
+from ..models import tower as T
+from . import losses
+from .lr_schedule import LearningRateScheduler
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def _decay_mask(params):
+    """True for conv/dense kernels (the reference's WEIGHTS collection)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: any(getattr(k, "key", None) == "kernel"
+                            for k in path), params)
+
+
+def make_optimizer() -> optax.GradientTransformation:
+    """Adam with injectable LR; decoupled L2 is applied separately."""
+    return optax.inject_hyperparams(optax.adam)(learning_rate=3e-4)
+
+
+def init_state(model_cfg: ModelConfig, rng: jax.Array) -> TrainState:
+    params, batch_stats = T.init_tower(model_cfg, rng)
+    opt_state = make_optimizer().init(params)
+    return TrainState(params=params, batch_stats=batch_stats,
+                      opt_state=opt_state, step=jnp.int32(0))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=2)
+def train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
+               state: TrainState, feats, labels, learning_rate):
+    """One optimization step; returns (new_state, metrics)."""
+
+    def loss_fn(params):
+        out, new_stats = T.apply_tower(model_cfg, params, state.batch_stats,
+                                       feats, train=True)
+        loss, metrics = losses.total_loss(out, labels, train_cfg)
+        return loss, (metrics, new_stats)
+
+    grads, (metrics, new_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
+
+    opt = make_optimizer()
+    opt_state = state.opt_state
+    opt_state.hyperparams["learning_rate"] = learning_rate
+    updates, opt_state = opt.update(grads, opt_state, state.params)
+
+    # decoupled L2 on kernels: w -= l2_coef * w, NOT scaled by the LR
+    mask = _decay_mask(state.params)
+    updates = jax.tree_util.tree_map(
+        lambda u, p, m: u - train_cfg.l2_coef * p if m else u,
+        updates, state.params, mask)
+
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params=params, batch_stats=new_stats,
+                      opt_state=opt_state, step=state.step + 1), metrics
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def eval_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
+              state: TrainState, feats, labels):
+    out, _ = T.apply_tower(model_cfg, state.params, state.batch_stats, feats,
+                           train=False)
+    _, metrics = losses.total_loss(out, labels, train_cfg)
+    return metrics
+
+
+@dataclasses.dataclass
+class Trainer:
+    """Host-side training driver (the `--start` / `--resume` procedures)."""
+
+    model_cfg: ModelConfig
+    train_cfg: TrainConfig
+    state: TrainState
+    scheduler: LearningRateScheduler
+
+    @staticmethod
+    def create(model_cfg: ModelConfig, train_cfg: TrainConfig,
+               seed: int = 0, warm_start: bool = False) -> "Trainer":
+        lr = train_cfg.warm_start_lr if warm_start else train_cfg.initial_lr
+        return Trainer(
+            model_cfg=model_cfg, train_cfg=train_cfg,
+            state=init_state(model_cfg, jax.random.PRNGKey(seed)),
+            scheduler=LearningRateScheduler(lr, train_cfg.lr_decay))
+
+    def fit(self, source, num_steps: int, log_every: int = 100,
+            log_fn=print) -> dict:
+        last_metrics = {}
+        for i, (feats, labels) in enumerate(source.batches(num_steps)):
+            lr = self.scheduler.learning_rate
+            self.state, metrics = train_step(
+                self.model_cfg, self.train_cfg, self.state, feats, labels,
+                jnp.float32(lr))
+            loss = float(metrics["loss"])
+            self.scheduler.update(loss)
+            last_metrics = {k: float(v) for k, v in metrics.items()}
+            if log_every and (i + 1) % log_every == 0:
+                log_fn(f"step {int(self.state.step)} loss {loss:.4f} "
+                       f"lr {self.scheduler.learning_rate:.2e} "
+                       f"top1 {last_metrics['policy_top1']:.3f}")
+            if self.scheduler.should_stop:
+                break
+        return last_metrics
+
+    def evaluate(self, source, num_batches: int) -> dict:
+        agg: dict[str, float] = {}
+        n = 0
+        for feats, labels in source.batches(num_batches):
+            metrics = eval_step(self.model_cfg, self.train_cfg, self.state,
+                                feats, labels)
+            for k, v in metrics.items():
+                agg[k] = agg.get(k, 0.0) + float(v)
+            n += 1
+        return {k: v / max(n, 1) for k, v in agg.items()}
+
+    # -- checkpointing ------------------------------------------------------
+
+    def save(self, path: str):
+        import orbax.checkpoint as ocp
+        ckpt = ocp.PyTreeCheckpointer()
+        ckpt.save(path, args=ocp.args.PyTreeSave({
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+            "scheduler": self.scheduler.state_dict(),
+            "hyper": {
+                "num_channels": self.model_cfg.num_channels,
+                "num_blocks": self.model_cfg.num_blocks,
+                "num_samples": self.model_cfg.num_samples,
+            },
+        }))
+
+    @staticmethod
+    def restore(path: str, train_cfg: TrainConfig | None = None) -> "Trainer":
+        import orbax.checkpoint as ocp
+        ckpt = ocp.PyTreeCheckpointer()
+        # phase 1: raw restore to recover the hyperparameters
+        raw = ckpt.restore(path)
+        hyper = raw["hyper"]
+        model_cfg = ModelConfig(num_channels=int(hyper["num_channels"]),
+                                num_blocks=int(hyper["num_blocks"]),
+                                num_samples=int(hyper["num_samples"]))
+        # phase 2: re-restore against a structural template so pytree node
+        # types (optimizer NamedTuples) come back intact
+        template_state = init_state(model_cfg, jax.random.PRNGKey(0))
+        template = {
+            "params": template_state.params,
+            "batch_stats": template_state.batch_stats,
+            "opt_state": template_state.opt_state,
+            "step": template_state.step,
+            "scheduler": raw["scheduler"],
+            "hyper": raw["hyper"],
+        }
+        data = ckpt.restore(path, args=ocp.args.PyTreeRestore(item=template))
+        train_cfg = train_cfg or TrainConfig()
+        trainer = Trainer(
+            model_cfg=model_cfg, train_cfg=train_cfg,
+            state=TrainState(params=data["params"],
+                             batch_stats=data["batch_stats"],
+                             opt_state=data["opt_state"],
+                             step=jnp.asarray(data["step"])),
+            scheduler=LearningRateScheduler(train_cfg.initial_lr,
+                                            train_cfg.lr_decay))
+        trainer.scheduler.load_state_dict(data["scheduler"])
+        return trainer

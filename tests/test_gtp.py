@@ -1,0 +1,111 @@
+"""GTP protocol tests (mirrors `contrib/sanity-tests/test_suite.py` driving
+the engine over GTP, with a fast fake predictor)."""
+
+import io
+
+import pytest
+
+from dream_go_tpu.config import SearchConfig
+from dream_go_tpu.gtp.engine import GtpEngine
+from dream_go_tpu.gtp.server import run_server
+from dream_go_tpu.mcts import predictor as P
+from dream_go_tpu.utils import coords
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return GtpEngine(P.fake_predictor(coords.from_gtp("D4"), value=0.6),
+                     SearchConfig(), num_rollout=8)
+
+
+def ask(engine, line):
+    resp, _ = engine.handle(line)
+    return resp.strip()
+
+
+class TestProtocol:
+    def test_protocol_version(self, engine):
+        assert ask(engine, "protocol_version") == "= 2"
+
+    def test_id_echo(self, engine):
+        assert ask(engine, "7 name") == "=7 dream_go_tpu"
+
+    def test_known_command(self, engine):
+        assert ask(engine, "known_command genmove") == "= true"
+        assert ask(engine, "known_command frobnicate") == "= false"
+
+    def test_list_commands_has_all_24(self, engine):
+        resp = ask(engine, "list_commands")
+        assert len(resp.splitlines()) == 24
+
+    def test_unknown_command_errors(self, engine):
+        resp = ask(engine, "frobnicate")
+        assert resp.startswith("?")
+
+    def test_boardsize(self, engine):
+        assert ask(engine, "boardsize 19") == "="
+        assert ask(engine, "boardsize 9").startswith("?")
+
+
+class TestPlay:
+    def test_play_and_showboard(self, engine):
+        ask(engine, "clear_board")
+        assert ask(engine, "play black q16") == "="
+        board = ask(engine, "showboard")
+        assert "X" in board
+
+    def test_illegal_play_errors(self, engine):
+        ask(engine, "clear_board")
+        ask(engine, "play black q16")
+        assert ask(engine, "play white q16").startswith("?")
+
+    def test_undo(self, engine):
+        ask(engine, "clear_board")
+        ask(engine, "play black q16")
+        assert ask(engine, "undo") == "="
+        assert ask(engine, "play white q16") == "="
+        ask(engine, "clear_board")
+
+    def test_undo_on_empty_errors(self, engine):
+        ask(engine, "clear_board")
+        assert ask(engine, "undo").startswith("?")
+
+    def test_genmove_plays_fake_point(self, engine):
+        ask(engine, "clear_board")
+        resp = ask(engine, "genmove black")
+        assert resp == "= D4"
+        # the move was actually played
+        assert "X" in ask(engine, "showboard")
+
+    def test_reg_genmove_does_not_play(self, engine):
+        ask(engine, "clear_board")
+        resp = ask(engine, "reg_genmove black")
+        assert resp == "= D4"
+        assert ask(engine, "play black d4") == "="  # still empty
+        ask(engine, "clear_board")
+
+    def test_explain_last_move(self, engine):
+        ask(engine, "clear_board")
+        ask(engine, "genmove black")
+        resp = ask(engine, "gomill-explain_last_move")
+        assert "D4" in resp
+        ask(engine, "clear_board")
+
+    def test_komi_and_time(self, engine):
+        assert ask(engine, "komi 6.5") == "="
+        assert ask(engine, "kgs-time_settings byoyomi 600 30 5") == "="
+        assert ask(engine, "time_left black 540 5") == "="
+        ask(engine, "komi 7.5")
+
+
+class TestServer:
+    def test_server_loop(self):
+        engine = GtpEngine(P.fake_predictor(coords.from_gtp("D4")),
+                           SearchConfig(), num_rollout=4)
+        out = io.StringIO()
+        run_server(engine,
+                   infile=io.StringIO("name\nversion\nquit\nplay black a1\n"),
+                   outfile=out)
+        lines = [l for l in out.getvalue().splitlines() if l]
+        assert lines[0] == "= dream_go_tpu"
+        assert len(lines) == 3  # quit stops processing

@@ -1,0 +1,88 @@
+"""Training subsystem: pipeline batches, train step, plateau scheduler."""
+
+import numpy as np
+
+from dream_go_tpu.config import ModelConfig, SelfPlayConfig, TrainConfig
+from dream_go_tpu.mcts import predictor as P
+from dream_go_tpu.selfplay.policy import PolicyPlayer, policy_self_play
+from dream_go_tpu.train.lr_schedule import LearningRateScheduler
+from dream_go_tpu.train.pipeline import ExampleSource, parse_game
+from dream_go_tpu.train.train_loop import Trainer
+
+MODEL = ModelConfig(num_channels=16, num_blocks=1, num_samples=2)
+TRAINC = TrainConfig(batch_size=8)
+
+
+def _lines():
+    player = PolicyPlayer(P.random_predictor())
+    return policy_self_play(
+        player, SelfPlayConfig(num_games=4, max_moves=40), seed=11)
+
+
+class TestPipeline:
+    def test_parse_game_appends_passes(self):
+        lines = _lines()
+        g = parse_game(lines[0])
+        assert g is not None
+        # scored games end with two passes
+        assert g.moves[-1] == 361 and g.moves[-2] == 361
+
+    def test_batches_have_expected_shapes(self):
+        src = ExampleSource(_lines(), batch_size=8, seed=0)
+        feats, labels = next(iter(src.batches(1)))
+        assert feats.shape == (8, 19, 19, 32)
+        assert labels["policy"].shape == (8, 362)
+        np.testing.assert_allclose(
+            np.asarray(labels["policy"]).sum(axis=-1), 1.0, atol=1e-3)
+        assert set(np.unique(np.asarray(labels["value"]))) <= {-1.0, 0.0, 1.0}
+        assert labels["ownership"].shape == (8, 361)
+        assert np.asarray(labels["has_ownership"]).max() == 1.0
+
+
+class TestTrainer:
+    def test_train_steps_reduce_loss(self):
+        src = ExampleSource(_lines(), batch_size=8, seed=1, augment=False)
+        trainer = Trainer.create(MODEL, TRAINC, seed=0)
+        first = trainer.fit(src, num_steps=1, log_every=0)
+        for _ in range(3):
+            last = trainer.fit(src, num_steps=5, log_every=0)
+        assert np.isfinite(last["loss"])
+        assert int(trainer.state.step) == 16
+        assert {"policy_top1", "value_accuracy",
+                "ownership_accuracy"} <= set(last)
+
+    def test_checkpoint_round_trip(self, tmp_path):
+        src = ExampleSource(_lines(), batch_size=8, seed=2, augment=False)
+        trainer = Trainer.create(MODEL, TRAINC, seed=0)
+        trainer.fit(src, num_steps=2, log_every=0)
+        path = str(tmp_path / "ckpt")
+        trainer.save(path)
+        restored = Trainer.restore(path)
+        assert int(restored.state.step) == 2
+        assert restored.model_cfg.num_channels == 16
+        # restored state continues training
+        restored.fit(src, num_steps=1, log_every=0)
+        assert int(restored.state.step) == 3
+
+
+class TestScheduler:
+    def test_decreasing_loss_keeps_lr(self):
+        sched = LearningRateScheduler(3e-4)
+        for i in range(3000):
+            sched.update(1.0 - 1e-4 * i)
+        assert sched.learning_rate == 3e-4
+
+    def test_plateau_divides_by_three(self):
+        sched = LearningRateScheduler(3e-4)
+        rng = np.random.default_rng(0)
+        for _ in range(3000):
+            sched.update(1.0 + 0.001 * rng.standard_normal())
+        assert sched.learning_rate < 3e-4
+        np.testing.assert_allclose(sched.learning_rate, 1e-4, rtol=1e-6)
+
+    def test_stops_below_min(self):
+        sched = LearningRateScheduler(1e-6)
+        rng = np.random.default_rng(0)
+        for _ in range(3000):
+            sched.update(1.0 + 0.001 * rng.standard_normal())
+        assert sched.should_stop
