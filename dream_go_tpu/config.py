@@ -110,6 +110,7 @@ class SearchConfig:
     root_symmetries: int = 1           # 8 => full_forward 8-symmetry root eval
     cutoff_percentile: float = 0.5     # choose.rs pruning percentile
     deterministic: bool = False
+    ladder_features: bool = False      # feature planes 31/32 (reference: on)
 
     def resolved_max_nodes(self) -> int:
         return self.max_nodes if self.max_nodes > 0 else self.num_rollout + 8
@@ -129,6 +130,7 @@ class SelfPlayConfig:
     komi: float = 7.5
     random_komi: bool = False          # lib.rs:210-224 komi distribution
     history_len: int = 64              # super-ko hash ring (SmallSet64 parity)
+    ladder_features: bool = False      # feature planes 31/32 (reference: on)
 
 
 @dataclasses.dataclass(frozen=True)

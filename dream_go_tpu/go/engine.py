@@ -225,6 +225,40 @@ def legal_mask(state: GoState, color=None) -> jax.Array:
     return jnp.concatenate([moves, jnp.ones(1, bool)])
 
 
+def place_stones(stones: jax.Array, chain_id: jax.Array, color, p):
+    """Hash-free placement on raw (stones, chain_id) arrays.
+
+    Returns ``(stones, chain_id)`` after placing ``color`` at ``p`` with
+    captures and chain merging; used by the ladder reader
+    (`utils/ladder.rs`) where super-ko bookkeeping is irrelevant.
+    """
+    color = jnp.asarray(color).astype(stones.dtype)
+    opp = (OFFBOARD - color).astype(stones.dtype)
+    _, chain_libs = chain_liberties(stones, chain_id)
+    st_p = _pad(stones, OFFBOARD)
+    cid_p = _pad(chain_id, -1)
+    nbr_p = jnp.asarray(_NBR)[p]  # traced index into the numpy table
+    nbr_st = st_p[nbr_p]
+    nbr_cid = cid_p[nbr_p]
+    nbr_libs = chain_libs[jnp.clip(nbr_cid, 0, NN)]
+
+    cap_k = (nbr_st == opp) & (nbr_libs == 1)
+    cap_ids = jnp.where(cap_k, nbr_cid, -2)
+    captured = (stones == opp) & jnp.any(
+        chain_id[:, None] == cap_ids[None, :], axis=1)
+
+    own_k = nbr_st == color
+    own_ids = jnp.where(own_k, nbr_cid, NN + 1)
+    new_id = jnp.minimum(p.astype(jnp.int32), jnp.min(own_ids))
+    member = (stones == color) & jnp.any(
+        chain_id[:, None] == jnp.where(own_k, nbr_cid, -2)[None, :], axis=1)
+
+    stones2 = jnp.where(captured, EMPTY, stones).at[p].set(color)
+    cid2 = jnp.where(member, new_id, chain_id)
+    cid2 = jnp.where(captured, _IOTA, cid2).at[p].set(new_id)
+    return stones2, cid2
+
+
 def _place(state: GoState, p: jax.Array) -> GoState:
     """Place ``to_move``'s stone at point ``p`` (assumed legal).
 

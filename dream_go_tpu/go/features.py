@@ -156,6 +156,22 @@ def features_v1(state: GoState, symmetry: int = 0,
     return feats.reshape(19, 19, NUM_FEATURES_V1)
 
 
+def features_v1_full(state: GoState, with_ladders: bool = False,
+                     max_ladder_candidates: int = 24) -> jax.Array:
+    """V1 features with optional ladder planes 31/32 (static choice).
+
+    Ladder reading costs a bounded chase per candidate (`go/ladder.py`); the
+    reference always computes them (`features.rs:208-222`), here they are a
+    static flag so the fast self-play path can skip them.
+    """
+    if not with_ladders:
+        return features_v1(state)
+    from .ladder import ladder_planes  # local import avoids cycle at init
+
+    cap, esc = ladder_planes(state, max_ladder_candidates)
+    return features_v1(state, ladder_capture=cap, ladder_escape=esc)
+
+
 def apply_symmetry(planes: jax.Array, symmetry: jax.Array) -> jax.Array:
     """Apply a traced D8 transform index to [..., 19, 19, C] planes."""
     flat = planes.reshape(planes.shape[:-3] + (NN, planes.shape[-1]))

@@ -217,6 +217,40 @@ class PyBoard:
                 out[p] = len(libs_by_rep[chain_map[p]])
         return out
 
+    # -- ladders (faithful recursive port of `utils/ladder.rs`) -------------
+
+    def _l_place(self, stones: list[int], color: int, p: int) -> list[int]:
+        stones = list(stones)
+        opp = 3 - color
+        stones[p] = color
+        for q in neighbors(p):
+            if stones[q] == opp:
+                chain = _l_chain(stones, q)
+                if not _l_libs(stones, chain):
+                    for r in chain:
+                        stones[r] = EMPTY
+        return stones
+
+    def is_ladder_capture(self, color: int, p: int) -> bool:
+        return _l_capture(self._l_place(list(self.stones), color, p), color, p)
+
+    def is_ladder_escape(self, color: int, p: int) -> bool:
+        stones = list(self.stones)
+        opp = 3 - color
+        connected = any(
+            stones[q] == color and len(_l_libs(stones, _l_chain(stones, q))) < 2
+            for q in neighbors(p))
+        if not connected:
+            return False
+        stones = self._l_place(stones, color, p)
+        if len(_l_libs(stones, _l_chain(stones, p))) != 2:
+            return False
+        for q in neighbors(p):
+            if _l_valid(stones, opp, q) and _l_capture(
+                    self._l_place(stones, opp, q), opp, q):
+                return False
+        return True
+
     def liberties_if(self, color: int, p: int) -> int:
         """Exact liberty count of the chain formed by playing at p.
 
@@ -243,3 +277,104 @@ class PyBoard:
                 if self.stones[r] == EMPTY or r in captured:
                     libs.add(r)
         return len(libs)
+
+
+# -- module-level ladder helpers (list-of-int board, `utils/ladder.rs`) ------
+
+
+def _l_chain(stones: list[int], p: int) -> list[int]:
+    color = stones[p]
+    seen = {p}
+    frontier = [p]
+    while frontier:
+        q = frontier.pop()
+        for r in neighbors(q):
+            if stones[r] == color and r not in seen:
+                seen.add(r)
+                frontier.append(r)
+    return sorted(seen)
+
+
+def _l_libs(stones: list[int], chain) -> set[int]:
+    libs = set()
+    for q in chain:
+        for r in neighbors(q):
+            if stones[r] == EMPTY:
+                libs.add(r)
+    return libs
+
+
+def _l_valid(stones: list[int], color: int, p: int) -> bool:
+    if stones[p] != EMPTY:
+        return False
+    opp = 3 - color
+    for q in neighbors(p):
+        if stones[q] == EMPTY:
+            return True
+        n = len(_l_libs(stones, _l_chain(stones, q)))
+        if stones[q] == color and n >= 2:
+            return True
+        if stones[q] == opp and n == 1:
+            return True
+    return False
+
+
+def _l_can_counter(stones: list[int], color: int, chain) -> bool:
+    """`ladder.rs:34-42`: can the opp-colored `chain` capture an adjacent
+    `color` chain in atari?"""
+    for q in chain:
+        for r in neighbors(q):
+            if stones[r] == color and \
+                    len(_l_libs(stones, _l_chain(stones, r))) < 2:
+                return True
+    return False
+
+
+def _l_capture(stones: list[int], color: int, p: int, depth: int = 0) -> bool:
+    """Board state is *after* placing color at p (`_is_ladder_capture`)."""
+    if depth > 80:
+        return False
+    opp = 3 - color
+    ext = None
+    for q in neighbors(p):
+        if stones[q] == opp:
+            chain = _l_chain(stones, q)
+            libs = _l_libs(stones, chain)
+            if len(libs) < 2 and not _l_can_counter(stones, color, chain):
+                lone = next(iter(libs)) if libs else None
+                if lone is not None and _l_valid(stones, opp, lone):
+                    ext = lone
+                    break
+    if ext is None:
+        return False
+    stones2 = list(stones)
+    stones2[ext] = opp
+    for q in neighbors(ext):  # the extension may itself capture
+        if stones2[q] == color:
+            ch = _l_chain(stones2, q)
+            if not _l_libs(stones2, ch):
+                for t in ch:
+                    stones2[t] = EMPTY
+    chain = _l_chain(stones2, ext)
+    libs = _l_libs(stones2, chain)
+    if len(libs) < 2:
+        return True
+    if len(libs) >= 3:
+        return False
+    for q in neighbors(ext):
+        if stones2[q] == color and \
+                len(_l_libs(stones2, _l_chain(stones2, q))) < 2:
+            return False
+    for q in neighbors(ext):
+        if _l_valid(stones2, color, q):
+            s3 = list(stones2)
+            s3[q] = color
+            for r in neighbors(q):
+                if s3[r] == opp:
+                    ch = _l_chain(s3, r)
+                    if not _l_libs(s3, ch):
+                        for t in ch:
+                            s3[t] = EMPTY
+            if _l_capture(s3, color, q, depth + 1):
+                return True
+    return False

@@ -166,7 +166,7 @@ def _leaf_features(tree: Tree, cfg: SearchConfig):
     node, action = _select(tree, cfg)
     parent_state = jax.tree_util.tree_map(lambda x: x[node], tree.states)
     leaf_state = engine.step(parent_state, action)
-    feats = features.features_v1(leaf_state)
+    feats = features.features_v1_full(leaf_state, cfg.ladder_features)
     return node, action, leaf_state, feats
 
 
@@ -232,7 +232,8 @@ def init_trees(states: GoState, predictor: Predictor, rng: jax.Array,
                cfg: SearchConfig, num_nodes: int,
                use_scoring: jax.Array | None) -> Tree:
     """Evaluate roots (batched) and allocate one tree per game."""
-    feats = jax.vmap(features.features_v1)(states)
+    feats = jax.vmap(
+        lambda s: features.features_v1_full(s, cfg.ladder_features))(states)
     value, policy = predictor(feats)
     cand_std = jax.vmap(standard_mask)(states)
     if use_scoring is None:

@@ -40,18 +40,23 @@ class PolicyPlayer:
     """Bundles a predictor with sampling settings."""
 
     def __init__(self, predictor: Predictor, *, temperature: float = 0.7,
-                 cutoff_percentile: float = 0.5, sym_average: bool = False):
+                 cutoff_percentile: float = 0.5, sym_average: bool = False,
+                 ladder_features: bool = False):
         self.predict = symmetrize(predictor) if sym_average else predictor
         self.temperature = temperature
         self.cutoff_percentile = cutoff_percentile
+        self.ladder_features = ladder_features
 
 
 def _build_move_fn(player: PolicyPlayer):
     """One lockstep move for the whole batch, jitted."""
 
+    ladders = getattr(player, "ladder_features", False)
+
     @jax.jit
     def move_fn(states: engine.GoState, rng: jax.Array):
-        feats = jax.vmap(features.features_v1)(states)
+        feats = jax.vmap(
+            lambda s: features.features_v1_full(s, ladders))(states)
         value, policy = player.predict(feats)
 
         scorable = jax.vmap(bn.is_scorable)(states)

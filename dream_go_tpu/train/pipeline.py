@@ -123,7 +123,9 @@ class ExampleSource:
     """Iterates shuffled example batches from big-SGF lines."""
 
     def __init__(self, lines: list[str], batch_size: int, seed: int = 0,
-                 history_len: int = 16, augment: bool = True):
+                 history_len: int = 16, augment: bool = True,
+                 ladder_features: bool = False):
+        self.ladder_features = ladder_features
         self.games = [g for g in (parse_game(l) for l in lines)
                       if g is not None]
         if not self.games:
@@ -162,15 +164,17 @@ class ExampleSource:
         feats, labels = _device_batch(
             jnp.asarray(moves), jnp.asarray(targets), jnp.asarray(komi),
             {k: jnp.asarray(v) for k, v in labels.items()},
-            sub, self.history_len, self.augment)
+            sub, self.history_len, self.augment, self.ladder_features)
         return feats, labels
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6))
-def _device_batch(moves, targets, komi, labels, rng, history_len, augment):
+@functools.partial(jax.jit, static_argnums=(5, 6, 7))
+def _device_batch(moves, targets, komi, labels, rng, history_len, augment,
+                  ladder_features=False):
     """Replay -> features -> random D8 augmentation + history dropout."""
     states = states_at(moves, targets, komi, history_len)
-    feats = jax.vmap(features.features_v1)(states)        # [B, 19, 19, 32]
+    feats = jax.vmap(
+        lambda s: features.features_v1_full(s, ladder_features))(states)
     if not augment:
         return feats, labels
     b = feats.shape[0]
