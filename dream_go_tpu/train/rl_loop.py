@@ -1,0 +1,124 @@
+"""The closed reinforcement-learning loop: self-play -> replay -> learner.
+
+Replaces the reference's file-and-shell pipeline (`README.md:63-93`:
+dream_go --self-play | sgf2big | sgf2balance | shuf -> dream_tf --start ->
+--dump -> next generation) with a single in-process driver:
+
+- actor: batched self-play with the current weights (policy-only + ex-it or
+  full search, per config);
+- replay: a sliding window of recent games (sgf2recent semantics) with
+  optional win-balancing (sgf2balance semantics);
+- learner: train steps over the window with the reference losses;
+- per generation: orbax checkpoint + big-SGF archive + weights JSON dump.
+
+On a pod slice this loop runs per-host actors with a data-parallel learner
+(see `parallel/mesh.py`); on one chip it alternates actor and learner phases.
+"""
+
+from __future__ import annotations
+
+import collections
+import dataclasses
+import os
+import re
+import sys
+
+import jax
+
+from ..config import ModelConfig, SearchConfig, SelfPlayConfig, TrainConfig
+from ..mcts.predictor import net_predictor
+from .pipeline import ExampleSource
+from .train_loop import Trainer
+
+_RESULT = re.compile(r"RE\[([BW])\+")
+
+
+def balance_games(lines: list[str]) -> list[str]:
+    """Equal black/white wins (sgf2balance)."""
+    black = [l for l in lines if (m := _RESULT.search(l)) and m.group(1) == "B"]
+    white = [l for l in lines if (m := _RESULT.search(l)) and m.group(1) == "W"]
+    n = min(len(black), len(white))
+    out = []
+    for i in range(n):
+        out.append(black[i])
+        out.append(white[i])
+    return out or lines  # never return an empty training set
+
+
+@dataclasses.dataclass
+class RLLoopConfig:
+    generations: int = 10
+    games_per_generation: int = 128
+    train_steps_per_generation: int = 256
+    replay_window_games: int = 4096
+    balance: bool = True
+    use_search: bool = False            # False: policy-play (+ ex-it)
+    ex_it: bool = True
+    out_dir: str | None = None
+    seed: int = 0
+
+
+def run_rl_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
+                selfplay_cfg: SelfPlayConfig, search_cfg: SearchConfig,
+                loop_cfg: RLLoopConfig, log_fn=None) -> Trainer:
+    log = log_fn or (lambda msg: print(msg, file=sys.stderr, flush=True))
+    trainer = Trainer.create(model_cfg, train_cfg, seed=loop_cfg.seed)
+    replay: collections.deque[str] = collections.deque(
+        maxlen=loop_cfg.replay_window_games)
+
+    for gen in range(loop_cfg.generations):
+        predictor = net_predictor(model_cfg, trainer.state.params,
+                                  trainer.state.batch_stats)
+        sp_cfg = dataclasses.replace(
+            selfplay_cfg, num_games=loop_cfg.games_per_generation)
+
+        if loop_cfg.use_search:
+            from ..selfplay.search_play import search_self_play
+            games = search_self_play(predictor, sp_cfg, search_cfg,
+                                     seed=loop_cfg.seed + gen)
+        else:
+            from ..selfplay.policy import PolicyPlayer, policy_self_play
+            games = policy_self_play(
+                PolicyPlayer(predictor,
+                             ladder_features=sp_cfg.ladder_features),
+                sp_cfg, seed=loop_cfg.seed + gen)
+            if loop_cfg.ex_it:
+                from ..selfplay.reanalyze import ex_it as run_ex_it
+                games = run_ex_it(games, predictor, search_cfg,
+                                  num_sims=selfplay_cfg.num_rollout,
+                                  fraction=selfplay_cfg.ex_it_fraction,
+                                  seed=loop_cfg.seed + gen)
+
+        replay.extend(games)
+        pool = balance_games(list(replay)) if loop_cfg.balance \
+            else list(replay)
+        log(f"gen {gen}: {len(games)} games, replay {len(replay)}, "
+            f"training pool {len(pool)}")
+
+        source = ExampleSource(pool, batch_size=train_cfg.batch_size,
+                               seed=loop_cfg.seed + gen,
+                               ladder_features=sp_cfg.ladder_features)
+        metrics = trainer.fit(source,
+                              loop_cfg.train_steps_per_generation,
+                              log_every=0)
+        log(f"gen {gen}: loss {metrics.get('loss', float('nan')):.4f} "
+            f"top1 {metrics.get('policy_top1', 0.0):.3f} "
+            f"lr {trainer.scheduler.learning_rate:.2e}")
+
+        if loop_cfg.out_dir:
+            os.makedirs(loop_cfg.out_dir, exist_ok=True)
+            with open(os.path.join(loop_cfg.out_dir,
+                                   f"gen_{gen:04d}.sgf"), "w") as fh:
+                fh.write("\n".join(games) + "\n")
+            trainer.save(os.path.abspath(
+                os.path.join(loop_cfg.out_dir, f"ckpt_{gen:04d}")))
+            from ..models import params as MP
+            with open(os.path.join(loop_cfg.out_dir, "dream_go.json"),
+                      "w") as fh:
+                fh.write(MP.dump_json(model_cfg, trainer.state.params,
+                                      trainer.state.batch_stats))
+        if trainer.scheduler.should_stop:
+            log(f"gen {gen}: learning rate floor reached, stopping")
+            break
+
+    return trainer

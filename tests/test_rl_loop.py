@@ -1,0 +1,32 @@
+"""Closed-loop smoke test: two generations of self-play + training."""
+
+from dream_go_tpu.config import (ModelConfig, SearchConfig, SelfPlayConfig,
+                                 TrainConfig)
+from dream_go_tpu.train.rl_loop import RLLoopConfig, balance_games, run_rl_loop
+
+
+def test_two_generations_close_the_loop(tmp_path):
+    trainer = run_rl_loop(
+        ModelConfig(num_channels=8, num_blocks=1, num_samples=2),
+        TrainConfig(batch_size=8),
+        SelfPlayConfig(num_games=4, num_rollout=6, max_moves=36),
+        SearchConfig(num_rollout=6),
+        RLLoopConfig(generations=2, games_per_generation=4,
+                     train_steps_per_generation=3, ex_it=False,
+                     out_dir=str(tmp_path), seed=0),
+        log_fn=lambda m: None)
+    assert int(trainer.state.step) == 6
+    assert (tmp_path / "gen_0000.sgf").exists()
+    assert (tmp_path / "gen_0001.sgf").exists()
+    assert (tmp_path / "dream_go.json").exists()
+    assert (tmp_path / "ckpt_0001").exists()
+
+
+def test_balance_games():
+    b = "(;GM[1]RE[B+1.5];B[aa])"
+    w = "(;GM[1]RE[W+1.5];B[aa])"
+    out = balance_games([b, b, b, w])
+    assert len(out) == 2
+    assert sorted(out) == sorted([b, w])
+    # never empties the pool
+    assert balance_games([b, b]) == [b, b]
