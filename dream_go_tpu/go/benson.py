@@ -65,24 +65,26 @@ def benson(stones: jax.Array, chain_id: jax.Array, color):
     labels = label_components(in_region)                    # [361] in [0..NN]
 
     # adj[p, b] = region point p is adjacent to chain b of `color`
+    # (dense compare — TPU scatters are pathologically slow)
     nbr_st = _pad(stones, jnp.int8(3))[NBR]                 # [361, 4]
     nbr_cid = _pad(chain_id, -1)[NBR]
     is_color = nbr_st == color
-    cols = jnp.where(is_color & in_region[:, None], nbr_cid, NN)  # trash -> NN
-    rows = jnp.broadcast_to(IOTA[:, None], (NN, 4))
-    adj = jnp.zeros((NN, NN + 1), jnp.int32).at[
-        rows.reshape(-1), cols.reshape(-1)].max(1)
-    adj = adj[:, :NN]                                       # [p, b]
+    adj = jnp.any(
+        (nbr_cid[:, :, None] == IOTA[None, None, :]) & is_color[:, :, None],
+        axis=1) & in_region[:, None]                        # [p, b] bool
 
-    # V[r, b] = every point of region r is adjacent to b   (segment min)
-    # N[r, b] = region r touches chain b                    (segment max)
-    seg_rows = jnp.where(in_region, labels, NN)
-    vital = jnp.ones((NN + 1, NN), jnp.int32).at[seg_rows].min(adj)[:NN]
-    touches = jnp.zeros((NN + 1, NN), jnp.int32).at[seg_rows].max(adj)[:NN]
-
-    is_region = jnp.zeros(NN + 1, jnp.bool_).at[seg_rows].set(True)[:NN]
-    vital = vital.astype(bool) & is_region[:, None]
-    touches = touches.astype(bool)
+    # region membership one-hot, then V/N as MXU matmuls:
+    # V[r, b] = all p in r adjacent to b  <=>  sum_p member[r,p]*(1-adj[p,b])==0
+    # N[r, b] = any p in r adjacent to b  <=>  sum_p member[r,p]*adj[p,b] > 0
+    member = ((labels[None, :] == IOTA[:, None])
+              & in_region[None, :])                         # [r, p]
+    memf = member.astype(jnp.float32)
+    adjf = adj.astype(jnp.float32)
+    misses = jnp.dot(memf, 1.0 - adjf, preferred_element_type=jnp.float32)
+    hits = jnp.dot(memf, adjf, preferred_element_type=jnp.float32)
+    is_region = jnp.any(member, axis=1)                     # [r]
+    vital = (misses == 0) & is_region[:, None]
+    touches = hits > 0
 
     # fixed point: healthy regions <-> alive blocks
     healthy0 = jnp.any(vital, axis=1) & is_region           # vital to some block

@@ -114,7 +114,12 @@ def chain_liberties(stones: jax.Array, chain_id: jax.Array):
 
     Returns ``(point_libs[361], chain_libs[362])`` where ``point_libs[p]`` is
     the liberty count of the chain occupying p (0 for empty points) and
-    ``chain_libs`` is indexed by chain id (slot 361 is scatter trash).
+    ``chain_libs`` is indexed by chain id (entry 361 stays 0).
+
+    Formulated as a dense [empty-point x chain] adjacency reduction — the
+    distinct-liberty dedup falls out of the boolean OR over the four neighbor
+    slots.  Scatter-based segment sums are catastrophically slow on TPU
+    (540x slower than this form, measured), so no ``.at[].add`` here.
     """
     st_p = _pad(stones, OFFBOARD)
     cid_p = _pad(chain_id, -1)
@@ -123,10 +128,12 @@ def chain_liberties(stones: jax.Array, chain_id: jax.Array):
     empty = stones == EMPTY                  # [361]
 
     is_stone = (nbr_st == BLACK) | (nbr_st == WHITE)
-    keep = _dedup4(nbr_cid, is_stone) & empty[:, None]
-    targets = jnp.where(keep, nbr_cid, NN)   # route dropped entries to trash
-    chain_libs = jnp.zeros(NN + 1, jnp.int32).at[targets.reshape(-1)].add(
-        keep.reshape(-1).astype(jnp.int32))
+    # adj[e, c]: empty point e touches chain c  -> distinct-count for free
+    adj = jnp.any(
+        (nbr_cid[:, :, None] == _IOTA[None, None, :]) & is_stone[:, :, None],
+        axis=1) & empty[:, None]             # [361, 361]
+    chain_libs = jnp.concatenate(
+        [jnp.sum(adj, axis=0, dtype=jnp.int32), jnp.zeros(1, jnp.int32)])
     point_libs = jnp.where(
         stones != EMPTY, chain_libs[jnp.clip(chain_id, 0, NN)], 0)
     return point_libs, chain_libs
@@ -140,12 +147,16 @@ def _chain_xor(stones: jax.Array, chain_id: jax.Array, color) -> jax.Array:
     ``capture_if`` (`board_fast.rs:366-374`) with a single segment reduction.
     """
     zc = jnp.where(jnp.asarray(color) == BLACK, _ZB, _ZW)      # [361, 2]
-    bits = (zc[:, :, None] >> _SHIFTS) & jnp.uint32(1)         # [361, 2, 32]
-    ids = jnp.where(stones == jnp.asarray(color).astype(stones.dtype),
-                    chain_id, NN)
-    seg = jnp.zeros((NN + 1, 2, 32), jnp.uint32).at[ids].add(bits)
-    parity = seg & jnp.uint32(1)
-    return jnp.sum(parity << _SHIFTS, axis=-1, dtype=jnp.uint32)  # [362, 2]
+    bits = ((zc[:, :, None] >> _SHIFTS) & jnp.uint32(1))       # [361, 2, 32]
+    bits = bits.reshape(NN, 64).astype(jnp.float32)
+    member = ((stones == jnp.asarray(color).astype(stones.dtype))[None, :]
+              & (chain_id[None, :] == _IOTA[:, None]))          # [c, p]
+    # per-chain bit-plane parity via an MXU matmul (exact in f32: sums <= 361)
+    seg = jnp.dot(member.astype(jnp.float32), bits,
+                  preferred_element_type=jnp.float32)           # [361, 64]
+    parity = seg.astype(jnp.uint32).reshape(NN, 2, 32) & jnp.uint32(1)
+    out = jnp.sum(parity << _SHIFTS, axis=-1, dtype=jnp.uint32)  # [361, 2]
+    return jnp.concatenate([out, jnp.zeros((1, 2), jnp.uint32)])
 
 
 def _capture_info(state: GoState, color):
@@ -290,12 +301,15 @@ def _place(state: GoState, p: jax.Array) -> GoState:
     cid2 = jnp.where(member, new_id, cid)
     cid2 = jnp.where(captured, _IOTA, cid2).at[p].set(new_id)
 
-    # hash: own stone in, captured stones out
+    # hash: own stone in, captured stones out.  XOR-reduce = per-bit parity
+    # of a masked sum (a custom lax.reduce combiner lowers pathologically
+    # slowly on TPU).
     z_me = jnp.where(me == BLACK, _ZB, _ZW)
     z_opp = jnp.where(me == BLACK, _ZW, _ZB)
-    cap_xor = jax.lax.reduce(
-        jnp.where(captured[:, None], z_opp, jnp.uint32(0)),
-        np.uint32(0), jax.lax.bitwise_xor, (0,))
+    opp_bits = ((z_opp[:, :, None] >> _SHIFTS) & jnp.uint32(1))  # [361,2,32]
+    parity = jnp.sum(opp_bits * captured[:, None, None].astype(jnp.uint32),
+                     axis=0) & jnp.uint32(1)                     # [2, 32]
+    cap_xor = jnp.sum(parity << _SHIFTS, axis=-1, dtype=jnp.uint32)
     h2 = state.hash ^ z_me[p] ^ cap_xor
 
     k = state.hash_hist.shape[0]

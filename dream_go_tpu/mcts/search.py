@@ -172,8 +172,14 @@ def _leaf_features(tree: Tree, cfg: SearchConfig):
 
 def _insert_backup(tree: Tree, node, action, leaf_state: GoState,
                    value, policy, use_scoring) -> Tree:
-    """Attach the evaluated leaf and back its value up to the root."""
-    new = tree.size  # next free slot; capacity = sims + 1 so always in range
+    """Attach the evaluated leaf and back its value up to the root.
+
+    When the tree is full (possible after subtree reuse), the value is still
+    backed up but no node is inserted.
+    """
+    capacity = tree.node_n.shape[0]
+    has_room = tree.size < capacity
+    new = jnp.minimum(tree.size, capacity - 1)
     value = _sane_value(value)
 
     cand_std = standard_mask(leaf_state)
@@ -184,17 +190,22 @@ def _insert_backup(tree: Tree, node, action, leaf_state: GoState,
         candidate = jnp.where(use_scoring, cand_scr, cand_std)
     prior = _masked_prior(policy, candidate)
 
+    def set_row(buf, row):
+        return jnp.where(has_room, buf.at[new].set(row), buf)
+
     states = jax.tree_util.tree_map(
-        lambda buf, leaf: buf.at[new].set(leaf), tree.states, leaf_state)
+        lambda buf, leaf: set_row(buf, leaf), tree.states, leaf_state)
     tree = tree.replace(
         states=states,
-        prior=tree.prior.at[new].set(prior),
-        candidate=tree.candidate.at[new].set(candidate),
-        children=tree.children.at[node, action].set(new),
-        parent=tree.parent.at[new].set(node),
-        parent_action=tree.parent_action.at[new].set(action),
-        size=tree.size + 1,
-        value0=tree.value0.at[new].set(value),
+        prior=set_row(tree.prior, prior),
+        candidate=set_row(tree.candidate, candidate),
+        children=jnp.where(has_room,
+                           tree.children.at[node, action].set(new),
+                           tree.children),
+        parent=set_row(tree.parent, node),
+        parent_action=set_row(tree.parent_action, action),
+        size=tree.size + has_room.astype(jnp.int32),
+        value0=set_row(tree.value0, value),
     )
 
     # backup from leaf to root with perspective flips (tree.rs:125-159)
@@ -217,8 +228,8 @@ def _insert_backup(tree: Tree, node, action, leaf_state: GoState,
         return tree.parent[n], node_n, node_w, node_m2
 
     # seed the new leaf's stats, then walk up from its parent
-    node_n = tree.node_n.at[new].set(1)
-    node_w = tree.node_w.at[new].set(value)
+    node_n = jnp.where(has_room, tree.node_n.at[new].set(1), tree.node_n)
+    node_w = jnp.where(has_room, tree.node_w.at[new].set(value), tree.node_w)
     _, node_n, node_w, node_m2 = jax.lax.while_loop(
         cond, body, (node, node_n, node_w, tree.node_m2))
     return tree.replace(node_n=node_n, node_w=node_w, node_m2=node_m2)
@@ -269,14 +280,119 @@ def run_search(trees: Tree, predictor: Predictor, cfg: SearchConfig,
 
 def search(states: GoState, predictor: Predictor, rng: jax.Array,
            cfg: SearchConfig, num_sims: int,
-           use_scoring: jax.Array | None = None) -> Tree:
+           use_scoring: jax.Array | None = None,
+           capacity: int | None = None) -> Tree:
     """Full search from a batch of root states; returns the trees.
 
     ``use_scoring`` is an optional bool[B] selecting the ScoringSearch
     candidate mask per game (None = StandardSearch everywhere, which skips
-    the Benson computations entirely).
+    the Benson computations entirely).  ``capacity`` > num_sims + 1 leaves
+    head-room for subtree reuse via :func:`search_with_reuse`.
     """
-    trees = init_trees(states, predictor, rng, cfg, num_sims + 1, use_scoring)
+    trees = init_trees(states, predictor, rng, cfg,
+                       capacity or (num_sims + 1), use_scoring)
+    return run_search(trees, predictor, cfg, num_sims, use_scoring)
+
+
+# ---------------------------------------------------------------------------
+# subtree reuse (`tree.rs:1225-1249` Node::forward)
+
+
+def _descendant_mask(parent: jax.Array, c: jax.Array) -> jax.Array:
+    """bool[N]: nodes in the subtree rooted at ``c`` (pointer doubling)."""
+    n = parent.shape[0]
+    desc = jnp.arange(n) == c
+    hop = parent
+    steps = max(1, (n - 1).bit_length())
+    for _ in range(steps):
+        desc = desc | ((hop >= 0) & desc[jnp.maximum(hop, 0)])
+        hop = jnp.where(hop >= 0, hop[jnp.maximum(hop, 0)], -1)
+    return desc
+
+
+def reroot(tree: Tree, action: jax.Array, noise_rng: jax.Array,
+           cfg: SearchConfig):
+    """Compact the subtree under root-child ``action`` to the front.
+
+    Returns ``(tree, valid)``; when the played move was never expanded
+    (``valid`` False) the caller must fall back to a fresh tree.  The new
+    root keeps its accumulated statistics and gets fresh Dirichlet noise
+    (`lib.rs:162-165` re-noises the reused root every move).
+    """
+    n = tree.node_n.shape[0]
+    c = tree.children[0, action]
+    valid = (c >= 0) & (tree.size > 1)
+    c0 = jnp.maximum(c, 0)
+
+    desc = _descendant_mask(tree.parent, c0)
+    # order: new root first, then remaining subtree nodes by old index
+    key = jnp.where(desc, jnp.arange(n) + 1, n + 2)
+    key = jnp.where(jnp.arange(n) == c0, 0, key)
+    order = jnp.argsort(key)                      # [N] gather map new->old
+    sorted_key = jnp.sort(key)
+    new_idx = jnp.searchsorted(sorted_key, key)   # [N] old->new
+    k = jnp.sum(desc).astype(jnp.int32)
+    live = jnp.arange(n) < k                      # valid new rows
+
+    def gather(buf, fill=None):
+        out = buf[order]
+        if fill is not None:
+            mask = live.reshape((n,) + (1,) * (out.ndim - 1))
+            out = jnp.where(mask, out, fill)
+        return out
+
+    children = gather(tree.children)
+    children = jnp.where((children >= 0) & live[:, None],
+                         new_idx[jnp.maximum(children, 0)], -1)
+    parent = jnp.where(live, new_idx[jnp.maximum(gather(tree.parent), 0)], -1)
+    parent = parent.at[0].set(-1)
+
+    prior = gather(tree.prior, 0.0)
+    candidate = gather(tree.candidate, False)
+    root_prior = _masked_prior(prior[0], candidate[0])
+    if cfg.dirichlet_noise > 0:
+        root_prior = _dirichlet_mix(noise_rng, root_prior, candidate[0],
+                                    cfg.dirichlet_noise, cfg.dirichlet_alpha)
+    prior = prior.at[0].set(root_prior)
+
+    out = Tree(
+        states=jax.tree_util.tree_map(lambda b: b[order], tree.states),
+        prior=prior,
+        candidate=candidate,
+        children=children,
+        parent=parent,
+        parent_action=gather(tree.parent_action, 0),
+        node_n=gather(tree.node_n, 0),
+        node_w=gather(tree.node_w, 0.0),
+        node_m2=gather(tree.node_m2, 0.0),
+        value0=gather(tree.value0, 0.0),
+        size=jnp.maximum(k, 1),
+    )
+    return out, valid
+
+
+def search_with_reuse(states: GoState, prev_trees: Tree,
+                      prev_actions: jax.Array, predictor: Predictor,
+                      rng: jax.Array, cfg: SearchConfig, num_sims: int,
+                      use_scoring: jax.Array | None = None) -> Tree:
+    """Search reusing each game's subtree under the move just played.
+
+    ``prev_trees`` must have capacity >= num_sims + largest reused subtree;
+    allocate with ``search(..., capacity=2*num_sims)`` style via init_trees.
+    """
+    batch = states.stones.shape[0]
+    k_fresh, k_noise = jax.random.split(rng)
+    capacity = prev_trees.node_n.shape[-1]  # [batch, N] -> N
+    fresh = init_trees(states, predictor, k_fresh, cfg, capacity, use_scoring)
+    reused, valid = jax.vmap(
+        lambda t, a, r: reroot(t, a, r, cfg)
+    )(prev_trees, prev_actions, jax.random.split(k_noise, batch))
+
+    def pick(a, b):
+        v = valid.reshape((batch,) + (1,) * (a.ndim - 1))
+        return jnp.where(v, a, b)
+
+    trees = jax.tree_util.tree_map(pick, reused, fresh)
     return run_search(trees, predictor, cfg, num_sims, use_scoring)
 
 

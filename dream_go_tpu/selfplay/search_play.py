@@ -35,14 +35,13 @@ from .records import Played, game_result_sgf
 
 
 def _build_search_move_fn(predictor: Predictor, search_cfg: SearchConfig,
-                          num_sims: int, temperature_moves: int):
-    @jax.jit
-    def move_fn(states: engine.GoState, rng: jax.Array):
-        scorable = jax.vmap(bn.is_scorable)(states)
-        use_scoring = ~scorable & ~states.done
-        k_search, k_move = jax.random.split(rng)
-        trees = S.search(states, predictor, k_search, search_cfg, num_sims,
-                         use_scoring)
+                          num_sims: int, temperature_moves: int,
+                          tree_reuse: bool = True):
+    """Two jitted paths: the first move searches fresh trees; subsequent
+    moves re-root the previous move's trees (`tree.rs:1225-1249`)."""
+    capacity = 2 * num_sims + 8 if tree_reuse else num_sims + 1
+
+    def finish(states, trees, k_move):
         temp = jnp.where(states.move_count < temperature_moves,
                          jnp.float32(search_cfg.temperature), 0.0)
         batch = states.stones.shape[0]
@@ -52,30 +51,60 @@ def _build_search_move_fn(predictor: Predictor, search_cfg: SearchConfig,
         move = jnp.where(states.done, engine.PASS, move)
         targets = jax.vmap(S.softmax_targets)(trees)
         new_states = engine.step_batch(states, move)
-        return new_states, move, value, targets
+        return new_states, trees, move, value, targets
 
-    return move_fn
+    @jax.jit
+    def first_move_fn(states: engine.GoState, rng: jax.Array):
+        scorable = jax.vmap(bn.is_scorable)(states)
+        use_scoring = ~scorable & ~states.done
+        k_search, k_move = jax.random.split(rng)
+        trees = S.search(states, predictor, k_search, search_cfg, num_sims,
+                         use_scoring, capacity=capacity)
+        return finish(states, trees, k_move)
+
+    @jax.jit
+    def reuse_move_fn(states: engine.GoState, trees: S.Tree,
+                      prev_move: jax.Array, rng: jax.Array):
+        scorable = jax.vmap(bn.is_scorable)(states)
+        use_scoring = ~scorable & ~states.done
+        k_search, k_move = jax.random.split(rng)
+        trees = S.search_with_reuse(states, trees, prev_move, predictor,
+                                    k_search, search_cfg, num_sims,
+                                    use_scoring)
+        return finish(states, trees, k_move)
+
+    if not tree_reuse:
+        return first_move_fn, None
+    return first_move_fn, reuse_move_fn
 
 
 def search_self_play(predictor: Predictor, cfg: SelfPlayConfig,
                      search_cfg: SearchConfig | None = None,
-                     seed: int = 0, sym_average: bool = False) -> list[str]:
+                     seed: int = 0, sym_average: bool = False,
+                     tree_reuse: bool = True) -> list[str]:
     """Play ``cfg.num_games`` MCTS games to completion; returns SGF lines."""
     search_cfg = search_cfg or SearchConfig()
     if sym_average:
         predictor = symmetrize(predictor)
     states = engine.new_states(cfg.num_games, komi=cfg.komi,
                                history_len=cfg.history_len)
-    move_fn = _build_search_move_fn(predictor, search_cfg, cfg.num_rollout,
-                                    cfg.temperature_moves)
+    first_fn, reuse_fn = _build_search_move_fn(
+        predictor, search_cfg, cfg.num_rollout, cfg.temperature_moves,
+        tree_reuse=tree_reuse)
     key = jax.random.PRNGKey(seed)
 
     records = []
+    trees, prev_move = None, None
     for _ in range(cfg.max_moves):
         key, sub = jax.random.split(key)
         active = ~np.asarray(states.done)
         to_move = np.asarray(states.to_move)
-        states, move, value, targets = move_fn(states, sub)
+        if trees is None or reuse_fn is None:
+            states, trees, move, value, targets = first_fn(states, sub)
+        else:
+            states, trees, move, value, targets = reuse_fn(
+                states, trees, prev_move, sub)
+        prev_move = move
         records.append((active, np.asarray(move), np.asarray(value), to_move,
                         np.asarray(targets, dtype=np.float16)))
         if bool(np.all(np.asarray(states.done))):

@@ -79,3 +79,69 @@ class TestSearch:
         trees = run(P.random_predictor(), sims=16)
         assert int(np.asarray(trees.size)[0]) == 17
         assert int(np.asarray(trees.node_n)[0, 0]) == 17  # root visit count
+
+
+class TestTreeReuse:
+    def test_reroot_preserves_subtree_stats(self):
+        point = coords.from_gtp("D4")
+        pred = P.fake_predictor(point)
+        states = engine.new_states(2)
+        trees = jax.jit(lambda st, r: S.search(
+            st, pred, r, CFG, 20, None, capacity=48))(
+            states, jax.random.PRNGKey(0))
+        child = np.asarray(trees.children[:, 0, point])
+        child_n = np.asarray(trees.node_n)[np.arange(2), np.maximum(child, 0)]
+        assert (child >= 0).all() and (child_n > 10).all()
+
+        moves = jnp.full((2,), point, jnp.int32)
+        new_states = engine.step_batch(states, moves)
+        rr = jax.jit(jax.vmap(lambda t, a, r: S.reroot(t, a, r, CFG)))
+        trees2, valid = rr(trees, moves,
+                           jax.random.split(jax.random.PRNGKey(1), 2))
+        assert np.asarray(valid).all()
+        # the new root carries the child's visit count and state
+        np.testing.assert_array_equal(np.asarray(trees2.node_n[:, 0]), child_n)
+        np.testing.assert_array_equal(
+            np.asarray(trees2.states.stones[:, 0]),
+            np.asarray(new_states.stones))
+        # parent pointers relabeled: root has none, others in range
+        size = int(np.asarray(trees2.size)[0])
+        parents = np.asarray(trees2.parent[0, :size])
+        assert parents[0] == -1
+        assert ((parents[1:] >= 0) & (parents[1:] < size)).all()
+
+    def test_search_with_reuse_continues(self):
+        point = coords.from_gtp("D4")
+        pred = P.fake_predictor(point)
+        states = engine.new_states(2)
+        trees = jax.jit(lambda st, r: S.search(
+            st, pred, r, CFG, 16, None, capacity=64))(
+            states, jax.random.PRNGKey(0))
+        moves = jnp.full((2,), point, jnp.int32)
+        states2 = engine.step_batch(states, moves)
+        trees2 = jax.jit(lambda st, t, m, r: S.search_with_reuse(
+            st, t, m, pred, r, CFG, 16, None))(
+            states2, trees, moves, jax.random.PRNGKey(1))
+        # reused subtree + 16 new sims worth of visits at the root
+        n0 = np.asarray(trees2.node_n[:, 0])
+        assert (n0 >= 16).all()
+        # tree stays within capacity and consistent
+        assert (np.asarray(trees2.size) <= 64).all()
+
+    def test_reuse_falls_back_when_move_unexpanded(self):
+        pred = P.fake_predictor(coords.from_gtp("D4"))
+        states = engine.new_states(2)
+        trees = jax.jit(lambda st, r: S.search(
+            st, pred, r, CFG, 8, None, capacity=32))(
+            states, jax.random.PRNGKey(0))
+        # play a move the search never expanded (corner A1 unlikely w/ fake)
+        bad = jnp.full((2,), coords.from_gtp("T19"), jnp.int32)
+        expanded = np.asarray(trees.children[:, 0, coords.from_gtp("T19")])
+        states2 = engine.step_batch(states, bad)
+        trees2 = jax.jit(lambda st, t, m, r: S.search_with_reuse(
+            st, t, m, pred, r, CFG, 8, None))(
+            states2, trees, bad, jax.random.PRNGKey(1))
+        # fresh fallback: the root state matches the new position either way
+        np.testing.assert_array_equal(
+            np.asarray(trees2.states.stones[:, 0]),
+            np.asarray(states2.stones))
