@@ -61,6 +61,9 @@ class GoState(struct.PyTreeNode):
 
     stones: jax.Array        # int8[361]
     chain_id: jax.Array      # int32[361] (valid where stones != EMPTY)
+    chain_xor: jax.Array     # uint32[361, 2]: per-chain XOR of zobrist
+    #                          entries, indexed by chain id (kept
+    #                          incrementally; see _place)
     to_move: jax.Array       # int8 scalar: BLACK or WHITE
     hash: jax.Array          # uint32[2]
     hash_hist: jax.Array     # uint32[history_len, 2] ring of post-move hashes
@@ -76,6 +79,7 @@ def new_state(komi: float = 7.5, history_len: int = 64) -> GoState:
     return GoState(
         stones=jnp.zeros(NN, jnp.int8),
         chain_id=jnp.asarray(IOTA),
+        chain_xor=jnp.zeros((NN, 2), jnp.uint32),
         to_move=jnp.int8(BLACK),
         hash=jnp.zeros(2, jnp.uint32),
         hash_hist=jnp.zeros((history_len, 2), jnp.uint32),
@@ -139,24 +143,24 @@ def chain_liberties(stones: jax.Array, chain_id: jax.Array):
     return point_libs, chain_libs
 
 
-def _chain_xor(stones: jax.Array, chain_id: jax.Array, color) -> jax.Array:
-    """Per-chain XOR of zobrist entries for stones of ``color``: uint32[362, 2].
+def recompute_chain_xor(stones: jax.Array, chain_id: jax.Array) -> jax.Array:
+    """uint32[361, 2]: per-chain XOR of zobrist entries (from scratch).
 
-    XOR is per-bit parity, so we scatter-add the 64 bit-planes per chain and
-    keep the low bit.  Replaces the reference's per-chain walk in
-    ``capture_if`` (`board_fast.rs:366-374`) with a single segment reduction.
+    Used to (re)build the incremental ``GoState.chain_xor`` field and in
+    tests; ``_place`` maintains it in O(361) per move.  The bit-plane parity
+    is computed with an explicit [c, p] compare-reduce (no shared-operand
+    matmul: XLA rewrites those into pathological base-dilated convolutions
+    under vmap).
     """
-    zc = jnp.where(jnp.asarray(color) == BLACK, _ZB, _ZW)      # [361, 2]
-    bits = ((zc[:, :, None] >> _SHIFTS) & jnp.uint32(1))       # [361, 2, 32]
-    bits = bits.reshape(NN, 64).astype(jnp.float32)
-    member = ((stones == jnp.asarray(color).astype(stones.dtype))[None, :]
-              & (chain_id[None, :] == _IOTA[:, None]))          # [c, p]
-    # per-chain bit-plane parity via an MXU matmul (exact in f32: sums <= 361)
-    seg = jnp.dot(member.astype(jnp.float32), bits,
-                  preferred_element_type=jnp.float32)           # [361, 64]
-    parity = seg.astype(jnp.uint32).reshape(NN, 2, 32) & jnp.uint32(1)
-    out = jnp.sum(parity << _SHIFTS, axis=-1, dtype=jnp.uint32)  # [361, 2]
-    return jnp.concatenate([out, jnp.zeros((1, 2), jnp.uint32)])
+    zc = jnp.where((stones == BLACK)[:, None], _ZB,
+                   jnp.where((stones == WHITE)[:, None], _ZW, 0))  # [361, 2]
+    bits = ((zc[:, :, None] >> _SHIFTS) & jnp.uint32(1))  # [361p, 2, 32]
+    member = ((stones != EMPTY)[None, :]
+              & (chain_id[None, :] == _IOTA[:, None]))     # [c, p]
+    seg = jnp.sum(member[:, :, None, None] * bits[None, :, :, :],
+                  axis=1, dtype=jnp.uint32)                # [c, 2, 32]
+    parity = seg & jnp.uint32(1)
+    return jnp.sum(parity << _SHIFTS, axis=-1, dtype=jnp.uint32)  # [361, 2]
 
 
 def _capture_info(state: GoState, color):
@@ -185,12 +189,11 @@ def candidate_hashes(state: GoState, color) -> jax.Array:
     for all candidates at once: ``h ^ z[color][p] ^ XOR(captured chains)``.
     """
     _, nbr_cid, _, cap_keep, _ = _capture_info(state, color)
-    opp = OFFBOARD - jnp.asarray(color)
-    cxor = _chain_xor(state.stones, state.chain_id, opp)       # [362, 2]
-    cap_xor = jnp.where(cap_keep[:, :, None],
-                        cxor[jnp.clip(nbr_cid, 0, NN)],
-                        jnp.uint32(0))                          # [361, 4, 2]
-    cap_xor = jax.lax.reduce(cap_xor, np.uint32(0), jax.lax.bitwise_xor, (1,))
+    cxor = state.chain_xor                                      # [361, 2]
+    m = jnp.where(cap_keep[:, :, None],
+                  cxor[jnp.clip(nbr_cid, 0, NN - 1)],
+                  jnp.uint32(0))                                # [361, 4, 2]
+    cap_xor = m[:, 0] ^ m[:, 1] ^ m[:, 2] ^ m[:, 3]
     z_me = jnp.where(jnp.asarray(color) == BLACK, _ZB, _ZW)
     return state.hash[None, :] ^ z_me ^ cap_xor                 # [361, 2]
 
@@ -264,9 +267,10 @@ def place_stones(stones: jax.Array, chain_id: jax.Array, color, p):
     member = (stones == color) & jnp.any(
         chain_id[:, None] == jnp.where(own_k, nbr_cid, -2)[None, :], axis=1)
 
-    stones2 = jnp.where(captured, EMPTY, stones).at[p].set(color)
+    at_p = _IOTA == p
+    stones2 = jnp.where(at_p, color, jnp.where(captured, EMPTY, stones))
     cid2 = jnp.where(member, new_id, chain_id)
-    cid2 = jnp.where(captured, _IOTA, cid2).at[p].set(new_id)
+    cid2 = jnp.where(at_p, new_id, jnp.where(captured, _IOTA, cid2))
     return stones2, cid2
 
 
@@ -297,27 +301,41 @@ def _place(state: GoState, p: jax.Array) -> GoState:
     member = (stones == me) & jnp.any(
         cid[:, None] == jnp.where(own_k, nbr_cid_p, -2)[None, :], axis=1)
 
-    stones2 = jnp.where(captured, EMPTY, stones).at[p].set(me)
+    # single-point writes as iota-selects: .at[p].set under vmap lowers to
+    # scatter, which is slow on TPU
+    at_p = _IOTA == p
+    stones2 = jnp.where(at_p, me, jnp.where(captured, EMPTY, stones))
     cid2 = jnp.where(member, new_id, cid)
-    cid2 = jnp.where(captured, _IOTA, cid2).at[p].set(new_id)
+    cid2 = jnp.where(at_p, new_id, jnp.where(captured, _IOTA, cid2))
 
-    # hash: own stone in, captured stones out.  XOR-reduce = per-bit parity
-    # of a masked sum (a custom lax.reduce combiner lowers pathologically
-    # slowly on TPU).
+    # hash: own stone in, captured chains out via the incremental per-chain
+    # XOR aggregates (O(1) lookups instead of any reduction)
     z_me = jnp.where(me == BLACK, _ZB, _ZW)
-    z_opp = jnp.where(me == BLACK, _ZW, _ZB)
-    opp_bits = ((z_opp[:, :, None] >> _SHIFTS) & jnp.uint32(1))  # [361,2,32]
-    parity = jnp.sum(opp_bits * captured[:, None, None].astype(jnp.uint32),
-                     axis=0) & jnp.uint32(1)                     # [2, 32]
-    cap_xor = jnp.sum(parity << _SHIFTS, axis=-1, dtype=jnp.uint32)
+    cap_rows = jnp.where(cap_keep_p[:, None],
+                         state.chain_xor[jnp.clip(nbr_cid_p, 0, NN - 1)],
+                         jnp.uint32(0))                          # [4, 2]
+    cap_xor = cap_rows[0] ^ cap_rows[1] ^ cap_rows[2] ^ cap_rows[3]
     h2 = state.hash ^ z_me[p] ^ cap_xor
 
+    # maintain chain_xor: the merged chain's aggregate = z[p] ^ XOR of the
+    # (deduplicated) adjacent own chains; captured chains' rows die
+    own_keep = _dedup4(nbr_cid_p, own_k)
+    own_rows = jnp.where(own_keep[:, None],
+                         state.chain_xor[jnp.clip(nbr_cid_p, 0, NN - 1)],
+                         jnp.uint32(0))                          # [4, 2]
+    new_xor = z_me[p] ^ own_rows[0] ^ own_rows[1] ^ own_rows[2] ^ own_rows[3]
+    cxor2 = jnp.where((member | at_p)[:, None], new_xor[None, :],
+                      state.chain_xor)
+    cxor2 = jnp.where(captured[:, None], jnp.uint32(0), cxor2)
+
     k = state.hash_hist.shape[0]
-    hist2 = state.hash_hist.at[state.placed_count % k].set(h2)
+    at_slot = (jnp.arange(k) == state.placed_count % k)[:, None]
+    hist2 = jnp.where(at_slot, h2[None, :], state.hash_hist)
 
     return state.replace(
         stones=stones2,
         chain_id=cid2,
+        chain_xor=cxor2,
         to_move=opp,
         hash=h2,
         hash_hist=hist2,

@@ -32,7 +32,7 @@ import numpy as np
 from ..go import engine, features
 from ..go.topology import SYM
 from ..utils import sgf
-from ..selfplay.replay import states_at
+from ..selfplay.replay import lz_features, states_and_stone_history_at, states_at
 
 
 @dataclasses.dataclass
@@ -124,8 +124,9 @@ class ExampleSource:
 
     def __init__(self, lines: list[str], batch_size: int, seed: int = 0,
                  history_len: int = 16, augment: bool = True,
-                 ladder_features: bool = False):
+                 ladder_features: bool = False, lz_history: bool = False):
         self.ladder_features = ladder_features
+        self.lz_history = lz_history
         self.games = [g for g in (parse_game(l) for l in lines)
                       if g is not None]
         if not self.games:
@@ -164,15 +165,25 @@ class ExampleSource:
         feats, labels = _device_batch(
             jnp.asarray(moves), jnp.asarray(targets), jnp.asarray(komi),
             {k: jnp.asarray(v) for k, v in labels.items()},
-            sub, self.history_len, self.augment, self.ladder_features)
+            sub, self.history_len, self.augment, self.ladder_features,
+            self.lz_history)
         return feats, labels
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
 def _device_batch(moves, targets, komi, labels, rng, history_len, augment,
-                  ladder_features=False):
-    """Replay -> features -> random D8 augmentation + history dropout."""
-    states = states_at(moves, targets, komi, history_len)
+                  ladder_features=False, lz_history=False):
+    """Replay -> features -> random D8 augmentation + history dropout.
+
+    With ``lz_history`` the labels dict gains an ``lz_features`` entry
+    ([B,19,19,18] leela-zero planes) for distillation teachers."""
+    if lz_history:
+        states, hist = states_and_stone_history_at(moves, targets, komi,
+                                                   history_len)
+        labels = dict(labels,
+                      lz_features=jax.vmap(lz_features)(states, hist))
+    else:
+        states = states_at(moves, targets, komi, history_len)
     feats = jax.vmap(
         lambda s: features.features_v1_full(s, ladder_features))(states)
     if not augment:
@@ -191,6 +202,10 @@ def _device_batch(moves, targets, komi, labels, rng, history_len, augment,
     own = jnp.take_along_axis(labels["ownership"], perm, axis=1)
     labels = dict(labels, policy=jnp.concatenate([pol, pol_pass], 1),
                   ownership=own)
+    if "lz_features" in labels:
+        lz = labels["lz_features"].reshape(b, 361, 18)
+        lz = jnp.take_along_axis(lz, perm[:, :, None], axis=1)
+        labels = dict(labels, lz_features=lz.reshape(b, 19, 19, 18))
 
     # history-plane dropout: zero the last-move planes (3:5) 5% of the time
     drop = jax.random.uniform(k_hist, (b,)) < 0.05

@@ -248,3 +248,28 @@ class TestDifferential:
                 np.asarray(states.stones[i]), np.asarray(singles[i].stones))
             np.testing.assert_array_equal(
                 np.asarray(states.hash[i]), np.asarray(singles[i].hash))
+
+
+class TestChainXor:
+    def test_incremental_matches_recompute(self):
+        rng = np.random.default_rng(9)
+        s = engine.new_state()
+        b = PyBoard()
+        jit_step = jax.jit(engine.step)
+        jit_re = jax.jit(engine.recompute_chain_xor)
+        for move_no in range(120):
+            mask = b.legal_mask()
+            pts = np.flatnonzero(mask[:361])
+            mv = int(rng.choice(pts)) if len(pts) else PASS
+            b.play(mv)
+            s = jit_step(s, jnp.int32(mv))
+            if move_no % 20 == 19:
+                inc = np.asarray(s.chain_xor)
+                ref = np.asarray(jit_re(s.stones, s.chain_id))
+                # rows are only authoritative at live chain ids
+                cid = np.asarray(s.chain_id)
+                stones = np.asarray(s.stones)
+                live = np.unique(cid[stones != 0])
+                np.testing.assert_array_equal(
+                    inc[live], ref[live],
+                    err_msg=f"chain_xor diverged at move {move_no}")
