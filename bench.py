@@ -35,7 +35,7 @@ def main():
     print(f"device: {dev}", file=sys.stderr)
 
     batch = 4096 if "--cpu" not in sys.argv else 256
-    steps_per_call = 32
+    steps_per_call = 128 if "--cpu" not in sys.argv else 32
 
     def one_step(carry, _):
         states, key = carry
@@ -68,7 +68,7 @@ def main():
     print(f"compile+first call: {time.time() - t0:.1f}s", file=sys.stderr)
 
     # measure (fetch-synced)
-    calls = 6
+    calls = 4
     t0 = time.time()
     for _ in range(calls):
         states, key = run_steps(states, key)
@@ -94,12 +94,14 @@ def main():
             return out.policy_logits
 
         x = jnp.zeros((fwd_batch, 19, 19, cfg.num_features))
-        fwd(x).block_until_ready()
+        # warmup must FETCH: block_until_ready can return early on remote
+        # platforms, leaving program-load cost to pollute the timed calls
+        float(np.asarray(jnp.sum(fwd(x))))
         t0 = time.time()
         n = 8
         for _ in range(n):
             r = fwd(x)
-        r.block_until_ready()
+        float(np.asarray(jnp.sum(r)))
         fps = fwd_batch * n / (time.time() - t0)
         print(f"nn forward/s (9x128, batch {fwd_batch}): {fps:,.0f}",
               file=sys.stderr)

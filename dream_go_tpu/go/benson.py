@@ -64,14 +64,15 @@ def benson(stones: jax.Array, chain_id: jax.Array, color):
     in_region = stones != color                             # empty or opponent
     labels = label_components(in_region)                    # [361] in [0..NN]
 
-    # adj[p, b] = region point p is adjacent to chain b of `color`
-    # (dense compare — TPU scatters are pathologically slow)
-    nbr_st = _pad(stones, jnp.int8(3))[NBR]                 # [361, 4]
-    nbr_cid = _pad(chain_id, -1)[NBR]
-    is_color = nbr_st == color
-    adj = jnp.any(
-        (nbr_cid[:, :, None] == IOTA[None, None, :]) & is_color[:, :, None],
-        axis=1) & in_region[:, None]                        # [p, b] bool
+    # adj[p, b] = region point p is adjacent to chain b of `color`:
+    # one [q, b] membership compare + four static row-gathers (avoids both
+    # scatters and multi-GB rank-4 iota expansions)
+    member_q = (chain_id[:, None] == IOTA[None, :]) \
+        & (stones == color)[:, None]                        # [q, b]
+    member_qp = jnp.concatenate([member_q, jnp.zeros((1, NN), bool)])
+    adj = member_qp[NBR[:, 0]] | member_qp[NBR[:, 1]] \
+        | member_qp[NBR[:, 2]] | member_qp[NBR[:, 3]]
+    adj = adj & in_region[:, None]                          # [p, b] bool
 
     # region membership one-hot, then V/N as MXU matmuls:
     # V[r, b] = all p in r adjacent to b  <=>  sum_p member[r,p]*(1-adj[p,b])==0

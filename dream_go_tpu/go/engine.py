@@ -125,17 +125,19 @@ def chain_liberties(stones: jax.Array, chain_id: jax.Array):
     slots.  Scatter-based segment sums are catastrophically slow on TPU
     (540x slower than this form, measured), so no ``.at[].add`` here.
     """
-    st_p = _pad(stones, OFFBOARD)
-    cid_p = _pad(chain_id, -1)
-    nbr_st = st_p[_NBR]                      # [361, 4]
-    nbr_cid = cid_p[_NBR]                    # [361, 4]
     empty = stones == EMPTY                  # [361]
 
-    is_stone = (nbr_st == BLACK) | (nbr_st == WHITE)
-    # adj[e, c]: empty point e touches chain c  -> distinct-count for free
-    adj = jnp.any(
-        (nbr_cid[:, :, None] == _IOTA[None, None, :]) & is_stone[:, :, None],
-        axis=1) & empty[:, None]             # [361, 361]
+    # membership matrix M[q, c] = stone at q belongs to chain c: ONE
+    # [361, 361] compare.  adj[e, c] = empty e touches chain c is then an OR
+    # of four STATIC row-gathers of M — never materialize the rank-4
+    # [e, k, c] compare (XLA expands it into multi-GB iota/broadcasts).
+    member = (chain_id[:, None] == _IOTA[None, :]) \
+        & (stones != EMPTY)[:, None]         # [q, c]
+    member_p = jnp.concatenate(
+        [member, jnp.zeros((1, NN), bool)])  # sentinel row for off-board
+    adj = member_p[_NBR[:, 0]] | member_p[_NBR[:, 1]] \
+        | member_p[_NBR[:, 2]] | member_p[_NBR[:, 3]]
+    adj = adj & empty[:, None]               # [e, c]
     chain_libs = jnp.concatenate(
         [jnp.sum(adj, axis=0, dtype=jnp.int32), jnp.zeros(1, jnp.int32)])
     point_libs = jnp.where(

@@ -64,28 +64,32 @@ def liberties_if(state: GoState, color) -> jax.Array:
     opp = (OFFBOARD - color).astype(stones.dtype)
 
     _, chain_libs = chain_liberties(stones, cid)
-    st_p = _pad(stones, jnp.int8(OFFBOARD))
-    cid_p = _pad(cid, -1)
-    nbr_st = st_p[NBR]                                   # [361, 4]
-    nbr_cid = cid_p[NBR]
-    nbr_libs = chain_libs[jnp.clip(nbr_cid, 0, NN)]
+    point_libs = jnp.where(stones != EMPTY,
+                           chain_libs[jnp.clip(cid, 0, NN)], 0)
 
-    # own-chain ids adjacent to each point (-1 = none); doubles as S (rows:
-    # candidates) and T (rows: liberty-side points)
-    own_ids = jnp.where(nbr_st == color, nbr_cid, -1)    # [361, 4]
-    # opponent chains captured by playing at each candidate (-2 = none)
-    cap_ids = jnp.where((nbr_st == opp) & (nbr_libs == 1), nbr_cid, -2)
+    # chain-membership one-hots + static neighbor row-gathers; the pairwise
+    # id compares are then MXU matmuls (adjacency-to-common-chain counts),
+    # never materializing rank-4 compare tensors
+    def adjacency(member):  # member: [q, c] -> [x, c] x adjacent to chain c
+        mp = jnp.concatenate([member, jnp.zeros((1, NN), member.dtype)])
+        return (mp[NBR[:, 0]] + mp[NBR[:, 1]] + mp[NBR[:, 2]] + mp[NBR[:, 3]]
+                > 0)
 
-    # match[p, e]: e is adjacent to an own chain that p merges with
-    match = jnp.any(
-        (own_ids[:, None, :, None] == own_ids[None, :, None, :])
-        & (own_ids[:, None, :, None] >= 0),
-        axis=(2, 3))                                     # [361, 361]
+    onehot = cid[:, None] == np.arange(NN)[None, :]      # [q, c]
+    member_own = (onehot & (stones == color)[:, None])
+    own_adj = adjacency(member_own).astype(jnp.bfloat16)  # [x, c]
 
+    # match[p, e]: p and e touch a common own chain
+    match = jnp.dot(own_adj, own_adj.T,
+                    preferred_element_type=jnp.float32) > 0  # [p, e]
+
+    # cap_adj[p, c]: p touches an opponent chain c in atari
+    libs1 = (chain_libs[:NN] == 1)
+    member_cap = onehot & (stones == opp)[:, None] & libs1[None, :]
+    cap_adj = adjacency(member_cap).astype(jnp.bfloat16)
     # cap_member[p, e]: the stone at e is captured by playing p
-    cap_member = jnp.any(
-        cap_ids[:, None, :] == cid[None, :, None], axis=2) \
-        & (stones == opp)[None, :]                       # [361, 361]
+    cap_member = jnp.dot(cap_adj, member_cap.astype(jnp.bfloat16).T,
+                         preferred_element_type=jnp.float32) > 0
 
     empty = (stones == EMPTY)[None, :]
     open_after = empty | cap_member

@@ -7,8 +7,10 @@ the GTP response string; the stdin loop lives in `server.py`.
 
 Search: every genmove runs the batched MCTS with batch 1 (RolloutLimit; a
 time budget from `time_settings` scales the rollout count).  Resigns below a
-10% win rate (`gtp/mod.rs:389-392`).  Tree reuse across moves and background
-pondering are not yet implemented (reference: `ponder_service.rs`).
+10% win rate (`gtp/mod.rs:389-392`).  With ``ponder=True`` a background
+thread keeps searching between commands (`ponder.py`, replacing
+`ponder_service.rs`); genmove consumes the pondered tree when the position
+still matches.
 """
 
 from __future__ import annotations
@@ -34,7 +36,7 @@ _VERSION = "0.1.0"
 class GtpEngine:
     def __init__(self, predictor: P.Predictor | None = None,
                  search_cfg: SearchConfig | None = None,
-                 num_rollout: int = 800):
+                 num_rollout: int = 800, ponder: bool = False):
         self.predictor = predictor or P.random_predictor()
         self.search_cfg = search_cfg or SearchConfig()
         self.num_rollout = num_rollout
@@ -45,6 +47,11 @@ class GtpEngine:
         self.last_explain = ""
         self.finished = False
         self._search_fn = {}
+        self._continue_fn = {}
+        self.ponder = None
+        if ponder:
+            from .ponder import PonderService
+            self.ponder = PonderService(self.predictor, self.search_cfg)
 
     # -- board manipulation --------------------------------------------------
 
@@ -81,14 +88,23 @@ class GtpEngine:
         state = self.state.replace(to_move=jnp.int8(color))
         states = jax.tree_util.tree_map(lambda x: x[None], state)
         sims = self._sims_for_budget(color)
-        key = (sims, cleanup)
-        if key not in self._search_fn:
-            use_scoring = jnp.ones((1,), bool) if cleanup else None
-            self._search_fn[key] = jax.jit(
-                lambda st, r: S.search(st, self.predictor, r,
-                                       self.search_cfg, sims, use_scoring))
-        trees = self._search_fn[key](states, jax.random.PRNGKey(
-            int(_time.time() * 1e3) % (2**31)))
+        pondered = self.ponder.take(state) if self.ponder else None
+        if pondered is not None and not cleanup:
+            if sims not in self._continue_fn:
+                self._continue_fn[sims] = jax.jit(
+                    lambda t: S.run_search(t, self.predictor,
+                                           self.search_cfg, sims, None))
+            trees = self._continue_fn[sims](pondered)
+        else:
+            key = (sims, cleanup)
+            if key not in self._search_fn:
+                use_scoring = jnp.ones((1,), bool) if cleanup else None
+                self._search_fn[key] = jax.jit(
+                    lambda st, r: S.search(st, self.predictor, r,
+                                           self.search_cfg, sims,
+                                           use_scoring))
+            trees = self._search_fn[key](states, jax.random.PRNGKey(
+                int(_time.time() * 1e3) % (2**31)))
         move, value = jax.vmap(
             lambda t, r: S.best_move(t, r, self.search_cfg, jnp.float32(0.0))
         )(trees, jax.random.split(jax.random.PRNGKey(1), 1))
@@ -141,6 +157,12 @@ class GtpEngine:
 
         try:
             quit_, msg = self._dispatch(cmd, args)
+            if self.ponder and cmd in ("play", "genmove",
+                                       "kgs-genmove_cleanup", "clear_board",
+                                       "undo", "loadsgf"):
+                self.ponder.start(self.state)
+            if self.ponder and quit_:
+                self.ponder.stop()
             return f"={ident} {msg}".rstrip() + "\n", quit_
         except Exception as exc:  # noqa: BLE001 - GTP reports all errors
             return f"?{ident} {exc}\n", False

@@ -294,6 +294,44 @@ def search(states: GoState, predictor: Predictor, rng: jax.Array,
     return run_search(trees, predictor, cfg, num_sims, use_scoring)
 
 
+def search_done(tree: Tree, sims_remaining) -> jax.Array:
+    """EARLY-C termination (`time_control/mod.rs:48-70`): the search is
+    decided when the runner-up cannot catch the leader with the remaining
+    simulation budget."""
+    visits = root_visits(tree)
+    best = jnp.max(visits)
+    second = jnp.max(jnp.where(visits == best, -1, visits))
+    return (best - jnp.maximum(second, 0)) > sims_remaining
+
+
+def run_search_adaptive(trees: Tree, predictor: Predictor, cfg: SearchConfig,
+                        num_sims: int, use_scoring: jax.Array | None = None,
+                        check_every: int = 32) -> Tree:
+    """Chunked search that exits early once every game's result is decided.
+
+    Lockstep note: per-game "done" cannot save work while other games
+    continue; the win is the (common) case where the whole batch decides
+    early — matching the practical effect of the reference's per-search
+    EARLY-C stop.
+    """
+    chunks = max(1, (num_sims + check_every - 1) // check_every)
+
+    def cond(carry):
+        trees, i = carry
+        remaining = jnp.int32(num_sims - i * check_every)
+        all_done = jnp.all(jax.vmap(
+            lambda t: search_done(t, remaining))(trees))
+        return (i < chunks) & ~all_done
+
+    def body(carry):
+        trees, i = carry
+        trees = run_search(trees, predictor, cfg, check_every, use_scoring)
+        return trees, i + 1
+
+    trees, _ = jax.lax.while_loop(cond, body, (trees, jnp.int32(0)))
+    return trees
+
+
 # ---------------------------------------------------------------------------
 # subtree reuse (`tree.rs:1225-1249` Node::forward)
 

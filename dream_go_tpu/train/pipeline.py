@@ -124,13 +124,26 @@ class ExampleSource:
 
     def __init__(self, lines: list[str], batch_size: int, seed: int = 0,
                  history_len: int = 16, augment: bool = True,
-                 ladder_features: bool = False, lz_history: bool = False):
+                 ladder_features: bool = False, lz_history: bool = False,
+                 use_native: bool | None = None):
         self.ladder_features = ladder_features
         self.lz_history = lz_history
-        self.games = [g for g in (parse_game(l) for l in lines)
-                      if g is not None]
-        if not self.games:
-            raise ValueError("no usable games")
+        if use_native is None:
+            from .. import native
+            use_native = native.available()
+        self.use_native = use_native
+        if use_native:
+            from .. import native
+            probe = native.extract_batch(lines, seed=1)
+            self.lines = [l for l, ok in zip(lines, probe["valid"]) if ok]
+            self.games = None
+            if not self.lines:
+                raise ValueError("no usable games")
+        else:
+            self.games = [g for g in (parse_game(l) for l in lines)
+                          if g is not None]
+            if not self.games:
+                raise ValueError("no usable games")
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
         self.history_len = history_len
@@ -139,8 +152,30 @@ class ExampleSource:
 
     def batches(self, num_batches: int):
         for _ in range(num_batches):
-            idx = self.rng.integers(0, len(self.games), self.batch_size)
-            yield self._make_batch([self.games[i] for i in idx])
+            if self.use_native:
+                yield self._make_batch_native()
+            else:
+                idx = self.rng.integers(0, len(self.games), self.batch_size)
+                yield self._make_batch([self.games[i] for i in idx])
+
+    def _make_batch_native(self):
+        from .. import native
+        b = self.batch_size
+        idx = self.rng.integers(0, len(self.lines), b)
+        out = native.extract_batch([self.lines[i] for i in idx],
+                                   seed=int(self.rng.integers(1, 2**62)))
+        t_max = int(out["num_moves"].max())
+        t_max = ((t_max + 127) // 128) * 128
+        labels = dict(policy=out["policy"], value=out["value"],
+                      ownership=out["ownership"],
+                      has_ownership=out["has_ownership"])
+        self._key, sub = jax.random.split(self._key)
+        return _device_batch(
+            jnp.asarray(out["moves"][:, :t_max]), jnp.asarray(out["targets"]),
+            jnp.asarray(out["komi"]),
+            {k: jnp.asarray(v) for k, v in labels.items()},
+            sub, self.history_len, self.augment, self.ladder_features,
+            self.lz_history)
 
     def _make_batch(self, games: list[ParsedGame]):
         b = self.batch_size

@@ -109,3 +109,33 @@ class TestServer:
         lines = [l for l in out.getvalue().splitlines() if l]
         assert lines[0] == "= dream_go_tpu"
         assert len(lines) == 3  # quit stops processing
+
+
+class TestPonder:
+    def test_ponder_accumulates_and_is_consumed(self):
+        import time
+        from dream_go_tpu.config import SearchConfig
+        eng = GtpEngine(P.fake_predictor(coords.from_gtp("D4")),
+                        SearchConfig(), num_rollout=8, ponder=True)
+        assert ask(eng, "play black q16") == "="
+        time.sleep(2.0)  # let the ponderer run a few chunks
+        resp = ask(eng, "genmove white")
+        assert resp == "= D4"
+        eng.ponder.stop()
+
+    def test_ponder_discards_on_mismatch(self):
+        from dream_go_tpu.config import SearchConfig
+        from dream_go_tpu.gtp.ponder import PonderService
+        import jax, time
+        from dream_go_tpu.go import engine as go_engine
+        svc = PonderService(P.fake_predictor(coords.from_gtp("D4")),
+                            SearchConfig(), chunk=4, capacity=64)
+        s0 = go_engine.new_state()
+        svc.start(s0)
+        time.sleep(1.0)
+        other = go_engine.step(s0, jax.numpy.int32(coords.from_gtp("Q16")))
+        assert svc.take(other) is None  # position changed
+        svc.start(s0)
+        time.sleep(1.0)
+        trees = svc.take(s0)
+        assert trees is not None
