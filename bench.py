@@ -34,47 +34,50 @@ def main():
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
 
-    batch = 4096 if "--cpu" not in sys.argv else 256
-    steps_per_call = 128 if "--cpu" not in sys.argv else 32
+    from dream_go_tpu.ops import env_step as K
 
-    def one_step(carry, _):
-        states, key = carry
-        key, sub = jax.random.split(key)
-        mask = engine.legal_mask_batch(states)[:, :361]
-        logits = jnp.where(mask, 0.0, -jnp.inf)
-        moves = jax.random.categorical(sub, logits, axis=-1)
-        moves = jnp.where(jnp.any(mask, axis=1), moves, engine.PASS)
-        states = engine.step_batch(states, moves.astype(jnp.int32))
-        return (states, key), None
-
-    @jax.jit
-    def run_steps(states, key):
-        (states, key), _ = jax.lax.scan(one_step, (states, key),
-                                        None, length=steps_per_call)
-        return states, key
-
-    states = engine.new_states(batch)
-    key = jax.random.PRNGKey(0)
+    on_tpu = "--cpu" not in sys.argv
+    batch = 4096 if on_tpu else 64
 
     def sync(states):
         # force a real device->host fetch: async dispatch through remote
         # platforms can make block_until_ready return early
         return int(np.asarray(jnp.sum(states.move_count)))
 
-    # warm up / compile
+    states = engine.new_states(batch)
+    weights = jnp.ones((batch, 361))
+
+    if on_tpu:
+        # headline path: the fused Pallas env-step kernel
+        @jax.jit
+        def one(states, seed):
+            st, _ = K.env_step(states, weights, seed)
+            return st
+    else:
+        # CPU smoke run: the XLA reference path (kernel needs interpret mode)
+        @jax.jit
+        def one(states, seed):
+            key = jax.random.PRNGKey(seed)
+            mask = engine.legal_mask_batch(states)[:, :361]
+            logits = jnp.where(mask, 0.0, -jnp.inf)
+            moves = jax.random.categorical(key, logits, axis=-1)
+            moves = jnp.where(jnp.any(mask, axis=1), moves, engine.PASS)
+            return engine.step_batch(states, moves.astype(jnp.int32))
+
+    # warm up / compile (must FETCH: block_until_ready can return early)
     t0 = time.time()
-    states, key = run_steps(states, key)
+    states = one(states, jnp.int32(1))
     sync(states)
     print(f"compile+first call: {time.time() - t0:.1f}s", file=sys.stderr)
 
-    # measure (fetch-synced)
-    calls = 4
+    # measure (fetch-synced; dispatches pipeline)
+    calls = 30 if on_tpu else 8
     t0 = time.time()
-    for _ in range(calls):
-        states, key = run_steps(states, key)
+    for c in range(calls):
+        states = one(states, jnp.int32(100 + c))
     total_moves = sync(states)
     dt = max(time.time() - t0, 1e-9)
-    env_steps = batch * steps_per_call * calls
+    env_steps = batch * calls
     steps_per_s = env_steps / dt
     print(f"{env_steps} env steps in {dt:.3f}s "
           f"(total moves on device: {total_moves})", file=sys.stderr)

@@ -7,7 +7,7 @@ keeps the whole per-board computation in VMEM, one board per grid step, with
 all state buffers updated in place (``input_output_aliases``):
 
 - neighbor access is ``pltpu.roll`` + static edge masks — no gathers;
-- the only matrix work is the [512,512] chain-membership/adjacency pair for
+- the only matrix work is the [384,384] chain-membership/adjacency pair for
   exact distinct liberty counts (one MXU matvec);
 - per-chain zobrist aggregates are stored **per point** (the aggregate of
   the chain containing each point), so super-ko candidate hashes for all
@@ -16,9 +16,9 @@ all state buffers updated in place (``input_output_aliases``):
   (uniform random when weights are all ones).
 
 State layout per board (see :func:`pack_states` / :func:`unpack_states`):
-  stones  i32[1, 512]   0 empty / 1 black / 2 white (pad 0)
-  cid     i32[1, 512]   chain id (point index of min member)
-  cxp     u32[2, 512]   per-point chain zobrist aggregate (2 words)
+  stones  i32[1, 384]   0 empty / 1 black / 2 white (pad 0)
+  cid     i32[1, 384]   chain id (point index of min member)
+  cxp     u32[2, 384]   per-point chain zobrist aggregate (2 words)
   hist    u32[2, 128]   super-ko ring, 64 entries used (2 words)
   meta    i32[1, 8]     to_move, placed, move_count, pass_count, done,
                         last0, last1, pad
@@ -39,7 +39,7 @@ from ..go import engine as goe
 from ..go.topology import NN
 from ..go.zobrist import Z
 
-NP = 512   # padded point axis (4 x 128 lanes)
+NP = 384   # padded point axis (3 x 128 lanes)
 RING = 64  # super-ko history entries (engine default)
 N = 19
 
@@ -95,8 +95,8 @@ def _kernel(use_prng, seed_ref, consts_ref, zob_ref, stones_ref, cid_ref,
 
     # ---- exact liberty counts: membership + adjacency + matvec ------------
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (NP, NP), 1)
-    stonep = ((stones > 0) & valid).reshape(NP, 1)
-    m = ((iota_c == cid.reshape(NP, 1)) & stonep).astype(jnp.float32)
+    stonep = ((stones > 0) & valid).astype(jnp.int32).reshape(NP, 1)
+    m = jnp.where((iota_c == cid.reshape(NP, 1)) & (stonep > 0), 1.0, 0.0)
 
     adj = jnp.zeros((NP, NP), jnp.float32)
     for s in _SHIFTS:
@@ -118,8 +118,8 @@ def _kernel(use_prng, seed_ref, consts_ref, zob_ref, stones_ref, cid_ref,
             jnp.where(mk, _roll(stones, s, 1), 3),
             jnp.where(mk, _roll(pl_q, s, 1), 0),
             jnp.where(mk, _roll(cid, s, 1), -1),
-            jnp.where(mk, _roll(cxp0, s, 1), jnp.uint32(0)),
-            jnp.where(mk, _roll(cxp1, s, 1), jnp.uint32(0)),
+            jnp.where(mk, _roll(cxp0, s, 1), 0),
+            jnp.where(mk, _roll(cxp1, s, 1), 0),
             mk,
         ))
 
@@ -141,11 +141,11 @@ def _kernel(use_prng, seed_ref, consts_ref, zob_ref, stones_ref, cid_ref,
         for j in range(k):
             dup |= cap_k[j] & (nbr[j][2] == nbr[k][2])
         keep.append(cap_k[k] & ~dup)
-    capx0 = jnp.zeros((1, NP), jnp.uint32)
-    capx1 = jnp.zeros((1, NP), jnp.uint32)
+    capx0 = jnp.zeros((1, NP), jnp.int32)
+    capx1 = jnp.zeros((1, NP), jnp.int32)
     for k in range(4):
-        capx0 ^= jnp.where(keep[k], nbr[k][3], jnp.uint32(0))
-        capx1 ^= jnp.where(keep[k], nbr[k][4], jnp.uint32(0))
+        capx0 ^= jnp.where(keep[k], nbr[k][3], 0)
+        capx1 ^= jnp.where(keep[k], nbr[k][4], 0)
 
     zme0 = jnp.where(me == 1, zob_ref[0:1, :], zob_ref[2:3, :])
     zme1 = jnp.where(me == 1, zob_ref[1:2, :], zob_ref[3:4, :])
@@ -165,11 +165,15 @@ def _kernel(use_prng, seed_ref, consts_ref, zob_ref, stones_ref, cid_ref,
 
     # ---- sample: Gumbel argmax over legal weights -------------------------
     if use_prng:
-        pltpu.prng_seed(seed_ref[0], b, move_count)
-        bits = pltpu.bitcast(pltpu.prng_random_bits((1, NP)), jnp.uint32)
+        pltpu.prng_seed(seed_ref[0]
+                        + b * jnp.int32(7919)
+                        + move_count * jnp.int32(65537))
+        bits = jax.lax.bitcast_convert_type(
+            pltpu.prng_random_bits((1, NP)), jnp.int32)
     else:
         bits = rbits_ref[0, 0:1, :]
-    u = (bits >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
+    u = jax.lax.shift_right_logical(bits, 8).astype(jnp.float32) \
+        * (1.0 / 16777216.0)
     gumbel = -jnp.log(-jnp.log(jnp.clip(u, 1e-7, 1.0 - 1e-7)))
     w = jnp.maximum(weights_ref[0, 0:1, :], 0.0)
     score = jnp.where(legal & (w > 0), jnp.log(w + 1e-30) + gumbel, -jnp.inf)
@@ -222,28 +226,29 @@ def _kernel(use_prng, seed_ref, consts_ref, zob_ref, stones_ref, cid_ref,
             acc = acc | ((own_sc[j][0] == own_sc[k][0])
                          & (own_sc[j][0] >= 0))
         own_keep.append((own_sc[k][0] >= 0) & ~acc)
-    zp0 = scalar_at_p(zme0.astype(jnp.int32)).astype(jnp.uint32)
-    zp1 = scalar_at_p(zme1.astype(jnp.int32)).astype(jnp.uint32)
+    def u32_at_p(vec_i32):
+        # all hash lanes are int32 bit-patterns; masked sum extracts at p
+        return jnp.sum(jnp.where(at_p, vec_i32, 0))
+
+    zp0 = u32_at_p(zme0)
+    zp1 = u32_at_p(zme1)
     nx0, nx1 = zp0, zp1
     for k in range(4):
         # aggregate of own neighbor chain k (scalar via masked extraction)
-        sel = at_p
-        cx0_k = jnp.sum(jnp.where(sel, nbr[k][3].astype(jnp.int32), 0))
-        cx1_k = jnp.sum(jnp.where(sel, nbr[k][4].astype(jnp.int32), 0))
+        cx0_k = u32_at_p(nbr[k][3])
+        cx1_k = u32_at_p(nbr[k][4])
         kf = own_keep[k]
-        nx0 = nx0 ^ jnp.where(kf, cx0_k.astype(jnp.uint32), jnp.uint32(0))
-        nx1 = nx1 ^ jnp.where(kf, cx1_k.astype(jnp.uint32), jnp.uint32(0))
+        nx0 = nx0 ^ jnp.where(kf, cx0_k, 0)
+        nx1 = nx1 ^ jnp.where(kf, cx1_k, 0)
 
     cxp0_2 = jnp.where(mem_eff | atp_eff, nx0,
-                       jnp.where(cap_eff, jnp.uint32(0), cxp0))
+                       jnp.where(cap_eff, 0, cxp0))
     cxp1_2 = jnp.where(mem_eff | atp_eff, nx1,
-                       jnp.where(cap_eff, jnp.uint32(0), cxp1))
+                       jnp.where(cap_eff, 0, cxp1))
 
     # post-move hash = the candidate hash at p
-    hp0 = jnp.sum(jnp.where(at_p, hc0.astype(jnp.int32), 0)) \
-        .astype(jnp.uint32)
-    hp1 = jnp.sum(jnp.where(at_p, hc1.astype(jnp.int32), 0)) \
-        .astype(jnp.uint32)
+    hp0 = u32_at_p(hc0)
+    hp1 = u32_at_p(hc1)
     h0_2 = jnp.where(placing, hp0, h0)
     h1_2 = jnp.where(placing, hp1, h1)
 
@@ -307,17 +312,20 @@ def pack_states(states: goe.GoState):
     cx = jnp.where((states.stones != 0)[..., None], cx, 0)
     cxp = jnp.concatenate(
         [cx, jnp.zeros((b, NP - NN, 2), jnp.uint32)], axis=1)  # [B, NP, 2]
-    cxp = jnp.transpose(cxp, (0, 2, 1))                    # [B, 2, NP]
+    cxp = jax.lax.bitcast_convert_type(
+        jnp.transpose(cxp, (0, 2, 1)), jnp.int32)          # [B, 2, NP]
     hist = jnp.transpose(states.hash_hist, (0, 2, 1))      # [B, 2, RING]
-    hist = jnp.concatenate(
-        [hist, jnp.zeros((b, 2, 128 - RING), jnp.uint32)], axis=2)
+    hist = jax.lax.bitcast_convert_type(jnp.concatenate(
+        [hist, jnp.zeros((b, 2, 128 - RING), jnp.uint32)], axis=2),
+        jnp.int32)
     meta = jnp.stack([
         states.to_move.astype(jnp.int32), states.placed_count,
         states.move_count, states.pass_count, states.done.astype(jnp.int32),
         states.last_two[:, 0], states.last_two[:, 1],
         jnp.zeros_like(states.move_count)], axis=1)[:, None, :]  # [B,1,8]
-    hashw = jnp.concatenate(
-        [states.hash, jnp.zeros((b, 6), jnp.uint32)], axis=1)[:, None, :]
+    hashw = jax.lax.bitcast_convert_type(jnp.concatenate(
+        [states.hash, jnp.zeros((b, 6), jnp.uint32)], axis=1),
+        jnp.int32)[:, None, :]
     return stones[:, None, :], cid[:, None, :], cxp, hist, meta, hashw
 
 
@@ -330,14 +338,16 @@ def unpack_states(template: goe.GoState, stones, cid, cxp, hist, meta,
     # chain_xor rows: scatter per-point aggregates back to id rows; since
     # every chain's id is one of its member points, selecting the value at
     # the id point reconstructs the row: row[c] = cxp[q=c]
-    cx = jnp.transpose(cxp, (0, 2, 1))[:, :NN, :]
+    cx = jnp.transpose(
+        jax.lax.bitcast_convert_type(cxp, jnp.uint32), (0, 2, 1))[:, :NN, :]
     return template.replace(
         stones=st,
         chain_id=cids,
         chain_xor=cx,
         to_move=meta[:, 0, 0].astype(jnp.int8),
-        hash=hashw[:, 0, :2],
-        hash_hist=jnp.transpose(hist[:, :, :RING], (0, 2, 1)),
+        hash=jax.lax.bitcast_convert_type(hashw, jnp.uint32)[:, 0, :2],
+        hash_hist=jnp.transpose(jax.lax.bitcast_convert_type(
+            hist, jnp.uint32)[:, :, :RING], (0, 2, 1)),
         placed_count=meta[:, 0, 1],
         move_count=meta[:, 0, 2],
         pass_count=meta[:, 0, 3],
@@ -363,7 +373,8 @@ def env_step(states: goe.GoState, weights: jax.Array, seed: jax.Array,
         np.zeros(NP, bool), np.zeros(NP, bool), np.zeros(NP, bool),
     ]).astype(np.int32))                                    # [8, NP]
     zob = jnp.asarray(np.stack([
-        _ZB[:, 0], _ZB[:, 1], _ZW[:, 0], _ZW[:, 1]]))       # [4, NP] u32
+        _ZB[:, 0], _ZB[:, 1], _ZW[:, 0], _ZW[:, 1]])
+        .view(np.int32))                                    # [4, NP] i32
     wpad = jnp.concatenate(
         [weights, jnp.zeros((b, NP - NN), weights.dtype)],
         axis=1)[:, None, :]
@@ -393,10 +404,10 @@ def env_step(states: goe.GoState, weights: jax.Array, seed: jax.Array,
     out_shapes = [
         jax.ShapeDtypeStruct((b, 1, NP), jnp.int32),
         jax.ShapeDtypeStruct((b, 1, NP), jnp.int32),
-        jax.ShapeDtypeStruct((b, 2, NP), jnp.uint32),
-        jax.ShapeDtypeStruct((b, 2, 128), jnp.uint32),
+        jax.ShapeDtypeStruct((b, 2, NP), jnp.int32),
+        jax.ShapeDtypeStruct((b, 2, 128), jnp.int32),
         jax.ShapeDtypeStruct((b, 1, 8), jnp.int32),
-        jax.ShapeDtypeStruct((b, 1, 8), jnp.uint32),
+        jax.ShapeDtypeStruct((b, 1, 8), jnp.int32),
         jax.ShapeDtypeStruct((b, 1, 8), jnp.int32),
     ]
     specs_out = [
@@ -417,9 +428,10 @@ def env_step(states: goe.GoState, weights: jax.Array, seed: jax.Array,
     ]
 
     if rng_bits is None:
-        rng_bits = jnp.zeros((b, NN), jnp.uint32)
+        rng_bits = jnp.zeros((b, NN), jnp.int32)
+    rng_bits = jax.lax.bitcast_convert_type(rng_bits, jnp.int32)
     rpad = jnp.concatenate(
-        [rng_bits, jnp.zeros((b, NP - rng_bits.shape[1]), jnp.uint32)],
+        [rng_bits, jnp.zeros((b, NP - rng_bits.shape[1]), jnp.int32)],
         axis=1)[:, None, :]
 
     outs = pl.pallas_call(
