@@ -36,6 +36,20 @@ from ..mcts.predictor import Predictor, symmetrize
 from .records import Played, game_result_sgf
 
 
+def random_komi(n: int, seed: int = 0):
+    """Weighted random komi (`lib.rs:202-224`): 40% 7.5, 40% 6.5, 10% 0.5,
+    10% uniform half-integer in [-7.5, 7.5]."""
+    import numpy as _np
+    rng = _np.random.default_rng(seed)
+    u = rng.random(n)
+    out = _np.full(n, 7.5, _np.float32)
+    out[u >= 0.4] = 6.5
+    out[u >= 0.8] = 0.5
+    rand_mask = u >= 0.9
+    out[rand_mask] = rng.integers(-8, 8, rand_mask.sum()) + 0.5
+    return out
+
+
 class PolicyPlayer:
     """Bundles a predictor with sampling settings."""
 
@@ -87,6 +101,9 @@ def policy_self_play(player: PolicyPlayer, cfg: SelfPlayConfig,
     """Play ``cfg.num_games`` games to completion; returns SGF lines."""
     states = engine.new_states(cfg.num_games, komi=cfg.komi,
                                history_len=cfg.history_len)
+    if cfg.random_komi:
+        states = states.replace(komi=jnp.asarray(
+            random_komi(cfg.num_games, seed), jnp.float32))
     move_fn = _build_move_fn(player)
     key = jax.random.PRNGKey(seed)
 
@@ -102,6 +119,7 @@ def policy_self_play(player: PolicyPlayer, cfg: SelfPlayConfig,
             break
 
     territory = np.asarray(_final_territory(states))
+    komis = np.asarray(states.komi)
     games = []
     for g in range(cfg.num_games):
         sgf_moves = []
@@ -113,5 +131,6 @@ def policy_self_play(player: PolicyPlayer, cfg: SelfPlayConfig,
                 value=float(value[g]), num_rollout=1,
                 softmax=policy[g]).to_sgf())
         games.append(game_result_sgf(
-            "".join(sgf_moves), komi=cfg.komi, territory=territory[g]))
+            "".join(sgf_moves), komi=float(komis[g]),
+            territory=territory[g]))
     return games

@@ -30,7 +30,7 @@ from ..go import benson as bn
 from ..go import engine
 from ..mcts import search as S
 from ..mcts.predictor import Predictor, symmetrize
-from .policy import _final_territory
+from .policy import _final_territory, random_komi
 from .records import Played, game_result_sgf
 
 
@@ -88,6 +88,9 @@ def search_self_play(predictor: Predictor, cfg: SelfPlayConfig,
         predictor = symmetrize(predictor)
     states = engine.new_states(cfg.num_games, komi=cfg.komi,
                                history_len=cfg.history_len)
+    if cfg.random_komi:
+        states = states.replace(komi=jnp.asarray(
+            random_komi(cfg.num_games, seed), jnp.float32))
     first_fn, reuse_fn = _build_search_move_fn(
         predictor, search_cfg, cfg.num_rollout, cfg.temperature_moves,
         tree_reuse=tree_reuse)
@@ -111,6 +114,7 @@ def search_self_play(predictor: Predictor, cfg: SelfPlayConfig,
             break
 
     territory = np.asarray(_final_territory(states))
+    komis = np.asarray(states.komi)
     games = []
     for g in range(cfg.num_games):
         sgf_moves = []
@@ -122,5 +126,6 @@ def search_self_play(predictor: Predictor, cfg: SelfPlayConfig,
                 value=float(value[g]), num_rollout=cfg.num_rollout,
                 softmax=targets[g]).to_sgf())
         games.append(game_result_sgf(
-            "".join(sgf_moves), komi=cfg.komi, territory=territory[g]))
+            "".join(sgf_moves), komi=float(komis[g]),
+            territory=territory[g]))
     return games

@@ -145,3 +145,17 @@ class TestTreeReuse:
         np.testing.assert_array_equal(
             np.asarray(trees2.states.stones[:, 0]),
             np.asarray(states2.stones))
+
+
+class TestDump:
+    def test_pretty_and_sgf_dumps(self):
+        from dream_go_tpu.mcts import dump as D
+        point = coords.from_gtp("D4")
+        trees = run(P.fake_predictor(point), sims=20)
+        one = jax.tree_util.tree_map(lambda x: x[0], trees)
+        pretty = D.to_pretty(one)
+        assert "Nodes: 21" in pretty
+        assert "D4" in pretty
+        sgf_text = D.to_sgf(one)
+        assert sgf_text.startswith("(;GM[1]FF[4]")
+        assert "B[dp]" in sgf_text  # D4 in sgf coords
