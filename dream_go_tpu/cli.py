@@ -53,9 +53,21 @@ def main(argv=None):
     mode.add_argument("--verify", metavar="DATA", help="eval on big SGF")
     mode.add_argument("--dump", action="store_true",
                       help="dump weights JSON to stdout")
+    mode.add_argument("--loop", type=int, metavar="GENS",
+                      help="run the closed RL loop for N generations")
 
     parser.add_argument("--weights", help="dream_go.json weights file")
     parser.add_argument("--checkpoint", help="orbax checkpoint dir")
+    parser.add_argument("--lz-weights", help="leela-zero weights for "
+                        "distillation (trainer) ")
+    parser.add_argument("--ponder", action="store_true",
+                        help="background search on opponent time (GTP)")
+    parser.add_argument("--profile", metavar="DIR",
+                        help="write a jax.profiler trace to DIR")
+    parser.add_argument("--metrics", metavar="FILE",
+                        help="append training metrics JSONL to FILE")
+    parser.add_argument("--out-dir", default="models/rl",
+                        help="output directory for --loop")
     parser.add_argument("--ex-it", action="store_true")
     parser.add_argument("--num-rollout", type=int, default=1600)
     parser.add_argument("--num-games", type=int, default=128)
@@ -70,6 +82,16 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     from .config import SearchConfig, SelfPlayConfig
+
+    profile_ctx = None
+    if args.profile:
+        import jax
+        profile_ctx = jax.profiler.trace(args.profile)
+        profile_ctx.__enter__()
+
+    if args.loop:
+        _rl_loop(args)
+        return
 
     if args.bench:
         import bench
@@ -128,7 +150,28 @@ def main(argv=None):
     from .gtp import GtpEngine, run_server
     predictor = _load_predictor(args)
     run_server(GtpEngine(predictor, SearchConfig(),
-                         num_rollout=args.num_rollout))
+                         num_rollout=args.num_rollout, ponder=args.ponder))
+    if profile_ctx is not None:
+        profile_ctx.__exit__(None, None, None)
+
+
+def _rl_loop(args):
+    from .config import (ModelConfig, SearchConfig, SelfPlayConfig,
+                         TrainConfig)
+    from .train.rl_loop import RLLoopConfig, run_rl_loop
+
+    run_rl_loop(
+        ModelConfig(num_channels=args.num_channels,
+                    num_blocks=args.num_blocks,
+                    num_samples=args.num_samples),
+        TrainConfig(batch_size=args.batch_size),
+        SelfPlayConfig(num_games=args.num_games,
+                       num_rollout=args.num_rollout, komi=args.komi),
+        SearchConfig(num_rollout=args.num_rollout),
+        RLLoopConfig(generations=args.loop,
+                     games_per_generation=args.num_games,
+                     ex_it=args.ex_it, out_dir=args.out_dir,
+                     seed=args.seed))
 
 
 def _trainer_procedures(args):
@@ -137,8 +180,9 @@ def _trainer_procedures(args):
     from .train.train_loop import Trainer
 
     tcfg = TrainConfig(batch_size=args.batch_size)
-    if args.resume or (args.checkpoint and not args.start):
-        trainer = Trainer.restore(args.checkpoint or args.resume, tcfg)
+    # --resume DATA --checkpoint CKPT: restore weights, keep training on DATA
+    if (args.resume or args.verify or args.dump) and args.checkpoint:
+        trainer = Trainer.restore(args.checkpoint, tcfg)
     else:
         mcfg = ModelConfig(num_channels=args.num_channels,
                            num_blocks=args.num_blocks,
@@ -147,14 +191,18 @@ def _trainer_procedures(args):
 
     if args.dump:
         from .models import params as MP
-        print(MP.dump_json(trainer.model_cfg, trainer.state.params,
+        print(MP.dump_json(trainer.model_cfg, trainer.dump_params(),
                            trainer.state.batch_stats))
         return
 
     data_path = args.start or args.resume or args.verify
     with open(data_path) as fh:
         lines = [l.strip() for l in fh if l.strip()]
-    source = ExampleSource(lines, batch_size=args.batch_size, seed=args.seed)
+    source = ExampleSource(lines, batch_size=args.batch_size, seed=args.seed,
+                           lz_history=bool(args.lz_weights))
+    if args.lz_weights:
+        from .train.distill import DistillationSource
+        source = DistillationSource(source, args.lz_weights)
 
     if args.verify:
         metrics = trainer.evaluate(source, num_batches=32)
@@ -163,9 +211,11 @@ def _trainer_procedures(args):
         return
 
     trainer.fit(source, num_steps=args.steps,
-                log_fn=lambda msg: print(msg, file=sys.stderr))
+                log_fn=lambda msg: print(msg, file=sys.stderr),
+                metrics_path=args.metrics)
     if args.checkpoint:
-        trainer.save(args.checkpoint)
+        import os
+        trainer.save(os.path.abspath(args.checkpoint))
 
 
 if __name__ == "__main__":

@@ -98,42 +98,79 @@ def eval_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
     return metrics
 
 
+@jax.jit
+def _ema_update(ema, params, decay):
+    return jax.tree_util.tree_map(
+        lambda e, p: e * decay + p.astype(jnp.float32) * (1.0 - decay),
+        ema, params)
+
+
 @dataclasses.dataclass
 class Trainer:
-    """Host-side training driver (the `--start` / `--resume` procedures)."""
+    """Host-side training driver (the `--start` / `--resume` procedures).
+
+    Keeps an exponential moving average of the parameters (reference
+    `layers/moving_average.py`: the weight dump uses EMA copies).
+    """
 
     model_cfg: ModelConfig
     train_cfg: TrainConfig
     state: TrainState
     scheduler: LearningRateScheduler
+    ema_params: Any = None
+    ema_decay: float = 0.999
 
     @staticmethod
     def create(model_cfg: ModelConfig, train_cfg: TrainConfig,
                seed: int = 0, warm_start: bool = False) -> "Trainer":
         lr = train_cfg.warm_start_lr if warm_start else train_cfg.initial_lr
+        state = init_state(model_cfg, jax.random.PRNGKey(seed))
         return Trainer(
-            model_cfg=model_cfg, train_cfg=train_cfg,
-            state=init_state(model_cfg, jax.random.PRNGKey(seed)),
-            scheduler=LearningRateScheduler(lr, train_cfg.lr_decay))
+            model_cfg=model_cfg, train_cfg=train_cfg, state=state,
+            scheduler=LearningRateScheduler(lr, train_cfg.lr_decay),
+            # copy: astype to the same dtype aliases the buffer, which the
+            # donated train_step argument would invalidate
+            ema_params=jax.tree_util.tree_map(
+                lambda p: jnp.copy(p.astype(jnp.float32)), state.params))
 
     def fit(self, source, num_steps: int, log_every: int = 100,
-            log_fn=print) -> dict:
+            log_fn=print, metrics_path: str | None = None) -> dict:
+        writer = None
+        if metrics_path:
+            from .metrics import MetricsWriter
+            writer = MetricsWriter(metrics_path)
         last_metrics = {}
         for i, (feats, labels) in enumerate(source.batches(num_steps)):
             lr = self.scheduler.learning_rate
             self.state, metrics = train_step(
                 self.model_cfg, self.train_cfg, self.state, feats, labels,
                 jnp.float32(lr))
+            if self.ema_params is not None:
+                self.ema_params = _ema_update(
+                    self.ema_params, self.state.params,
+                    jnp.float32(self.ema_decay))
             loss = float(metrics["loss"])
             self.scheduler.update(loss)
             last_metrics = {k: float(v) for k, v in metrics.items()}
+            last_metrics["learning_rate"] = lr
+            last_metrics["lr_slope"] = self.scheduler.slope
+            last_metrics["lr_p_decreasing"] = self.scheduler.p_decreasing
+            if writer:
+                writer.write(int(self.state.step), last_metrics)
             if log_every and (i + 1) % log_every == 0:
                 log_fn(f"step {int(self.state.step)} loss {loss:.4f} "
                        f"lr {self.scheduler.learning_rate:.2e} "
                        f"top1 {last_metrics['policy_top1']:.3f}")
             if self.scheduler.should_stop:
                 break
+        if writer:
+            writer.close()
         return last_metrics
+
+    def dump_params(self):
+        """Parameters for the weights dump: EMA copies when tracked."""
+        return self.ema_params if self.ema_params is not None \
+            else self.state.params
 
     def evaluate(self, source, num_batches: int) -> dict:
         agg: dict[str, float] = {}
@@ -149,13 +186,17 @@ class Trainer:
     # -- checkpointing ------------------------------------------------------
 
     def save(self, path: str):
+        import os
+
         import orbax.checkpoint as ocp
+        path = os.path.abspath(path)
         ckpt = ocp.PyTreeCheckpointer()
-        ckpt.save(path, args=ocp.args.PyTreeSave({
+        ckpt.save(path, force=True, args=ocp.args.PyTreeSave({
             "params": self.state.params,
             "batch_stats": self.state.batch_stats,
             "opt_state": self.state.opt_state,
             "step": self.state.step,
+            "ema_params": self.ema_params,
             "scheduler": self.scheduler.state_dict(),
             "hyper": {
                 "num_channels": self.model_cfg.num_channels,
@@ -166,7 +207,10 @@ class Trainer:
 
     @staticmethod
     def restore(path: str, train_cfg: TrainConfig | None = None) -> "Trainer":
+        import os
+
         import orbax.checkpoint as ocp
+        path = os.path.abspath(path)
         ckpt = ocp.PyTreeCheckpointer()
         # phase 1: raw restore to recover the hyperparameters
         raw = ckpt.restore(path)
@@ -182,6 +226,8 @@ class Trainer:
             "batch_stats": template_state.batch_stats,
             "opt_state": template_state.opt_state,
             "step": template_state.step,
+            "ema_params": jax.tree_util.tree_map(
+                lambda p: p.astype(jnp.float32), template_state.params),
             "scheduler": raw["scheduler"],
             "hyper": raw["hyper"],
         }
@@ -194,6 +240,7 @@ class Trainer:
                              opt_state=data["opt_state"],
                              step=jnp.asarray(data["step"])),
             scheduler=LearningRateScheduler(train_cfg.initial_lr,
-                                            train_cfg.lr_decay))
+                                            train_cfg.lr_decay),
+            ema_params=data.get("ema_params"))
         trainer.scheduler.load_state_dict(data["scheduler"])
         return trainer
