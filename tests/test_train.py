@@ -86,3 +86,30 @@ class TestScheduler:
         for _ in range(3000):
             sched.update(1.0 + 0.001 * rng.standard_normal())
         assert sched.should_stop
+
+
+def test_heatmap_renders(tmp_path):
+    import numpy as np
+    from dream_go_tpu.train.heatmap import heat_image, save_heat_image
+    stones = np.zeros(361, np.int8)
+    stones[180] = 1
+    stones[182] = 2
+    heat = np.zeros(361, np.float32)
+    heat[200] = 0.8
+    heat[220] = -0.6
+    img = heat_image(stones, heat)
+    assert img.shape == (304, 304, 3) and img.dtype == np.uint8
+    # red-ish cell for positive heat, blue-ish for negative
+    cell = img[10 * 16 + 8, 10 * 16 + 8]  # point 200 = (x=10, y=10)
+    assert cell[0] > cell[2]
+    cell = img[11 * 16 + 8, 11 * 16 + 8]  # point 220 = (x=11, y=11)
+    assert cell[2] > cell[0]
+    save_heat_image(str(tmp_path / "x.png"), stones, heat)
+    assert (tmp_path / "x.png").exists()
+
+
+def test_distributed_helpers_single_process():
+    from dream_go_tpu.parallel import distributed as D
+    D.initialize()  # no-op standalone
+    start, count = D.local_game_slice(100)
+    assert (start, count) == (0, 100)
