@@ -111,6 +111,8 @@ class SearchConfig:
     cutoff_percentile: float = 0.5     # choose.rs pruning percentile
     deterministic: bool = False
     ladder_features: bool = False      # feature planes 31/32 (reference: on)
+    adaptive: bool = False             # EARLY-C chunked early termination
+    feature_kernel: bool = False       # Pallas liberties-after kernel (TPU)
 
     def resolved_max_nodes(self) -> int:
         return self.max_nodes if self.max_nodes > 0 else self.num_rollout + 8

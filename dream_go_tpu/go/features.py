@@ -100,7 +100,8 @@ def liberties_if(state: GoState, color) -> jax.Array:
 
 def features_v1(state: GoState, symmetry: int = 0,
                 ladder_capture: jax.Array | None = None,
-                ladder_escape: jax.Array | None = None) -> jax.Array:
+                ladder_escape: jax.Array | None = None,
+                libs_after: tuple | None = None) -> jax.Array:
     """float32[19, 19, 32] feature planes (NHWC once batched).
 
     ``symmetry`` indexes the D8 transform table (0 = identity) and must be a
@@ -119,8 +120,12 @@ def features_v1(state: GoState, symmetry: int = 0,
 
     valid_me = pseudo_legal_mask(state, me)
     valid_opp = pseudo_legal_mask(state, opp)
-    libs_if_me = jnp.where(valid_me, liberties_if(state, me), 0)
-    libs_if_opp = jnp.where(valid_opp, liberties_if(state, opp), 0)
+    if libs_after is not None:  # precomputed (Pallas kernel, ops/libs_after)
+        raw_me, raw_opp = libs_after
+    else:
+        raw_me, raw_opp = liberties_if(state, me), liberties_if(state, opp)
+    libs_if_me = jnp.where(valid_me, raw_me, 0)
+    libs_if_opp = jnp.where(valid_opp, raw_opp, 0)
 
     ko = superko_mask(state, me) & valid_me
     any_ko = jnp.any(ko)
@@ -158,6 +163,32 @@ def features_v1(state: GoState, symmetry: int = 0,
     if symmetry != 0:
         feats = feats[SYM[symmetry]]
     return feats.reshape(19, 19, NUM_FEATURES_V1)
+
+
+def features_v1_batch(states: GoState, with_ladders: bool = False,
+                      use_kernel: bool = False) -> jax.Array:
+    """Batched feature extraction; ``use_kernel`` offloads the
+    liberties-after-move planes to the Pallas kernel (TPU only)."""
+    if not use_kernel:
+        return jax.vmap(
+            lambda s: features_v1_full(s, with_ladders))(states)
+    from ..ops.libs_after import liberties_after_both
+
+    lb, lw = liberties_after_both(states)
+    me_black = (states.to_move == 1)[:, None]
+    libs_me = jnp.where(me_black, lb, lw)
+    libs_opp = jnp.where(me_black, lw, lb)
+
+    def one(state, lm, lo):
+        if with_ladders:
+            from .ladder import ladder_planes
+
+            cap, esc = ladder_planes(state)
+            return features_v1(state, ladder_capture=cap, ladder_escape=esc,
+                               libs_after=(lm, lo))
+        return features_v1(state, libs_after=(lm, lo))
+
+    return jax.vmap(one)(states, libs_me, libs_opp)
 
 
 def features_v1_full(state: GoState, with_ladders: bool = False,

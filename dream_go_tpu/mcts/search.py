@@ -161,13 +161,12 @@ def _select(tree: Tree, cfg: SearchConfig):
     return node, action
 
 
-def _leaf_features(tree: Tree, cfg: SearchConfig):
-    """Select + env-step + feature-extract for one game."""
+def _leaf(tree: Tree, cfg: SearchConfig):
+    """Select + env-step for one game (features are batched separately)."""
     node, action = _select(tree, cfg)
     parent_state = jax.tree_util.tree_map(lambda x: x[node], tree.states)
     leaf_state = engine.step(parent_state, action)
-    feats = features.features_v1_full(leaf_state, cfg.ladder_features)
-    return node, action, leaf_state, feats
+    return node, action, leaf_state
 
 
 def _insert_backup(tree: Tree, node, action, leaf_state: GoState,
@@ -243,8 +242,8 @@ def init_trees(states: GoState, predictor: Predictor, rng: jax.Array,
                cfg: SearchConfig, num_nodes: int,
                use_scoring: jax.Array | None) -> Tree:
     """Evaluate roots (batched) and allocate one tree per game."""
-    feats = jax.vmap(
-        lambda s: features.features_v1_full(s, cfg.ladder_features))(states)
+    feats = features.features_v1_batch(states, cfg.ladder_features,
+                                       cfg.feature_kernel)
     value, policy = predictor(feats)
     cand_std = jax.vmap(standard_mask)(states)
     if use_scoring is None:
@@ -264,8 +263,10 @@ def run_search(trees: Tree, predictor: Predictor, cfg: SearchConfig,
     """Run ``num_sims`` lockstep simulations across the whole game batch."""
 
     def sim_step(_, trees):
-        node, action, leaf_states, feats = jax.vmap(
-            lambda t: _leaf_features(t, cfg))(trees)
+        node, action, leaf_states = jax.vmap(
+            lambda t: _leaf(t, cfg))(trees)
+        feats = features.features_v1_batch(
+            leaf_states, cfg.ladder_features, cfg.feature_kernel)
         value, policy = predictor(feats)
         if use_scoring is None:
             return jax.vmap(
@@ -281,7 +282,7 @@ def run_search(trees: Tree, predictor: Predictor, cfg: SearchConfig,
 def search(states: GoState, predictor: Predictor, rng: jax.Array,
            cfg: SearchConfig, num_sims: int,
            use_scoring: jax.Array | None = None,
-           capacity: int | None = None) -> Tree:
+           capacity: int | None = None, adaptive: bool = False) -> Tree:
     """Full search from a batch of root states; returns the trees.
 
     ``use_scoring`` is an optional bool[B] selecting the ScoringSearch
@@ -291,6 +292,9 @@ def search(states: GoState, predictor: Predictor, rng: jax.Array,
     """
     trees = init_trees(states, predictor, rng, cfg,
                        capacity or (num_sims + 1), use_scoring)
+    if adaptive:
+        return run_search_adaptive(trees, predictor, cfg, num_sims,
+                                   use_scoring)
     return run_search(trees, predictor, cfg, num_sims, use_scoring)
 
 

@@ -1,0 +1,144 @@
+"""Pallas kernel: exact liberties-after-move for all candidates, both colors.
+
+The dominant cost of V1 feature extraction (planes 12-17 / 24-29,
+`features.rs:104-148`) is the all-candidates `get_n_liberty_if`
+(`board_fast.rs:484-539`).  The XLA formulation (`go/features.py`) moves
+[B,361,361] one-hots and matmul operands through HBM; this kernel keeps the
+whole computation in VMEM per board: membership matrix, neighbor adjacency by
+rolls, two MXU matmuls (common-own-chain reach, captured-stone membership),
+and the final open-and-reach reduction.
+
+Counting identity (same as `go/features.py::liberties_if`):
+
+    libs_if[p] = sum_e  [e != p]
+                 * (empty[e] OR e is captured by playing p)
+                 * (e adjacent to p OR e touches an own chain adjacent to p)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..go import engine as goe
+from ..go.topology import NN
+
+NP = 384
+N = 19
+
+_IDX = np.arange(NP)
+_VALID = (_IDX < NN)
+_MASKS = {
+    +1: (_VALID & (_IDX % N > 0)),
+    -1: (_VALID & (_IDX % N < N - 1)),
+    +N: (_VALID & (_IDX >= N)),
+    -N: (_VALID & (_IDX + N < NN)),
+}
+_SHIFTS = (1, -1, N, -N)
+
+
+def _roll(x, shift, axis):
+    return pltpu.roll(x, shift % x.shape[axis], axis)
+
+
+def _kernel(consts_ref, stones_ref, cid_ref, out_ref):
+    valid = consts_ref[0:1, :] > 0                      # [1, NP]
+    stones = stones_ref[0, 0:1, :]                      # i32 [1, NP]
+    cid = cid_ref[0, 0:1, :]
+    empty = ((stones == 0) & valid).astype(jnp.float32)
+
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (NP, NP), 1)
+    stonep = ((stones > 0) & valid).astype(jnp.int32).reshape(NP, 1)
+    m = jnp.where((iota_c == cid.reshape(NP, 1)) & (stonep > 0), 1.0, 0.0)
+
+    # adjacency-of-point matrix (p adjacent to e) and chain adjacency
+    ident = jnp.where(
+        iota_c == jax.lax.broadcasted_iota(jnp.int32, (NP, NP), 0), 1.0, 0.0)
+    adjmat = jnp.zeros((NP, NP), jnp.float32)
+    adj_chain = jnp.zeros((NP, NP), jnp.float32)        # [e, c] e touches c
+    for s in _SHIFTS:
+        mk = consts_ref[{1: 1, -1: 2, N: 3, -N: 4}[s]:{1: 1, -1: 2, N: 3,
+                                                       -N: 4}[s] + 1, :] \
+            .astype(jnp.float32).reshape(NP, 1)
+        adjmat = jnp.maximum(adjmat, _roll(ident, s, 0) * mk)
+        adj_chain = jnp.maximum(adj_chain, _roll(m, s, 0) * mk)
+
+    chain_libs = jnp.sum(adj_chain * empty.reshape(NP, 1), axis=0) \
+        .reshape(1, NP)                                  # [1, c]
+    libs1 = (chain_libs == 1.0).astype(jnp.float32)      # [1, c]
+
+    for color in (1, 2):
+        own_col = ((stones == color) & valid).astype(jnp.float32) \
+            .reshape(NP, 1)
+        opp_col = ((stones == (3 - color)) & valid).astype(jnp.float32) \
+            .reshape(NP, 1)
+
+        member_own = m * own_col                         # [q, c]
+        own_adj = jnp.zeros((NP, NP), jnp.float32)       # [x, c]
+        for s in _SHIFTS:
+            mk = consts_ref[{1: 1, -1: 2, N: 3, -N: 4}[s]:
+                            {1: 1, -1: 2, N: 3, -N: 4}[s] + 1, :] \
+                .astype(jnp.float32).reshape(NP, 1)
+            own_adj = jnp.maximum(own_adj, _roll(member_own, s, 0) * mk)
+
+        # match[p, e] = p and e touch a common own chain
+        match = jnp.dot(own_adj, own_adj.T,
+                        preferred_element_type=jnp.float32)
+
+        member_cap = m * opp_col * libs1                 # [q, c] captured
+        cap_adj = jnp.zeros((NP, NP), jnp.float32)
+        for s in _SHIFTS:
+            mk = consts_ref[{1: 1, -1: 2, N: 3, -N: 4}[s]:
+                            {1: 1, -1: 2, N: 3, -N: 4}[s] + 1, :] \
+                .astype(jnp.float32).reshape(NP, 1)
+            cap_adj = jnp.maximum(cap_adj, _roll(member_cap, s, 0) * mk)
+        # cap_member[p, e] = stone e is in a chain captured by playing p
+        cap_member = jnp.dot(cap_adj, member_cap.T,
+                             preferred_element_type=jnp.float32)
+
+        open_after = jnp.maximum(empty, jnp.minimum(cap_member, 1.0))
+        reach = jnp.maximum(adjmat, jnp.minimum(match, 1.0))
+        nodiag = 1.0 - ident
+        count = jnp.sum(open_after * reach * nodiag, axis=1).reshape(1, NP)
+        out_ref[0, color - 1:color, :] = count.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def liberties_after_both(states: goe.GoState, interpret: bool = False):
+    """(libs_if_black, libs_if_white): int32[B, 361] exact counts.
+
+    Values at non-pseudo-legal points are meaningless; mask upstream (the
+    feature planes do).
+    """
+    b = states.stones.shape[0]
+    pad = lambda x, fill: jnp.concatenate(
+        [x, jnp.full((b, NP - x.shape[1]), fill, x.dtype)], axis=1)
+    stones = pad(states.stones.astype(jnp.int32), 0)[:, None, :]
+    cid = pad(states.chain_id, 0)[:, None, :]
+    consts = jnp.asarray(np.stack(
+        [_VALID, _MASKS[1], _MASKS[-1], _MASKS[N], _MASKS[-N],
+         np.zeros(NP, bool), np.zeros(NP, bool), np.zeros(NP, bool)])
+        .astype(np.int32))
+
+    out = pl.pallas_call(
+        _kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((8, NP), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NP), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NP), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, NP), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 2, NP), jnp.int32),
+        interpret=interpret,
+    )(consts, stones, cid)
+    return out[:, 0, :NN], out[:, 1, :NN]

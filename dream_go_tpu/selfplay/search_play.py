@@ -59,7 +59,8 @@ def _build_search_move_fn(predictor: Predictor, search_cfg: SearchConfig,
         use_scoring = ~scorable & ~states.done
         k_search, k_move = jax.random.split(rng)
         trees = S.search(states, predictor, k_search, search_cfg, num_sims,
-                         use_scoring, capacity=capacity)
+                         use_scoring, capacity=capacity,
+                         adaptive=search_cfg.adaptive)
         return finish(states, trees, k_move)
 
     @jax.jit
