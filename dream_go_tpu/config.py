@@ -113,6 +113,7 @@ class SearchConfig:
     ladder_features: bool = False      # feature planes 31/32 (reference: on)
     adaptive: bool = False             # EARLY-C chunked early termination
     feature_kernel: bool = False       # Pallas liberties-after kernel (TPU)
+    step_kernel: bool = False          # Pallas env-step for leaf expansion
 
     def resolved_max_nodes(self) -> int:
         return self.max_nodes if self.max_nodes > 0 else self.num_rollout + 8

@@ -169,6 +169,13 @@ def _leaf(tree: Tree, cfg: SearchConfig):
     return node, action, leaf_state
 
 
+def _leaf_select(tree: Tree, cfg: SearchConfig):
+    """Select only; the env step runs batched (Pallas kernel path)."""
+    node, action = _select(tree, cfg)
+    parent_state = jax.tree_util.tree_map(lambda x: x[node], tree.states)
+    return node, action, parent_state
+
+
 def _insert_backup(tree: Tree, node, action, leaf_state: GoState,
                    value, policy, use_scoring) -> Tree:
     """Attach the evaluated leaf and back its value up to the root.
@@ -263,8 +270,17 @@ def run_search(trees: Tree, predictor: Predictor, cfg: SearchConfig,
     """Run ``num_sims`` lockstep simulations across the whole game batch."""
 
     def sim_step(_, trees):
-        node, action, leaf_states = jax.vmap(
-            lambda t: _leaf(t, cfg))(trees)
+        if cfg.step_kernel:
+            from ..ops.env_step import env_step
+
+            node, action, parent_states = jax.vmap(
+                lambda t: _leaf_select(t, cfg))(trees)
+            onehot = (jnp.arange(engine.PASS)[None, :]
+                      == action[:, None]).astype(jnp.float32)
+            leaf_states, _ = env_step(parent_states, onehot, 0)
+        else:
+            node, action, leaf_states = jax.vmap(
+                lambda t: _leaf(t, cfg))(trees)
         feats = features.features_v1_batch(
             leaf_states, cfg.ladder_features, cfg.feature_kernel)
         value, policy = predictor(feats)

@@ -83,3 +83,21 @@ def test_kernel_passes_when_no_weighted_move():
                            rng_bits=bits)
     assert (np.asarray(moves) == 361).all()
     assert (np.asarray(ns.pass_count) == 1).all()
+
+
+def test_step_via_onehot_matches_engine():
+    """env_step with a one-hot weight must behave like step(action)."""
+    b = 3
+    states = engine.new_states(b)
+    actions = jnp.asarray([72, 361, 100], jnp.int32)  # incl. a pass
+    onehot = (jnp.arange(361)[None, :] == actions[:, None]) \
+        .astype(jnp.float32)
+    bits = jax.random.bits(jax.random.PRNGKey(0), (b, 361), jnp.uint32)
+    got, moves = K.env_step(states, onehot, 0, interpret=True,
+                            use_prng=False, rng_bits=bits)
+    want = engine.step_batch(states, actions)
+    np.testing.assert_array_equal(np.asarray(moves), np.asarray(actions))
+    np.testing.assert_array_equal(np.asarray(got.stones),
+                                  np.asarray(want.stones))
+    np.testing.assert_array_equal(np.asarray(got.pass_count),
+                                  np.asarray(want.pass_count))
