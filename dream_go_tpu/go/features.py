@@ -101,7 +101,9 @@ def liberties_if(state: GoState, color) -> jax.Array:
 def features_v1(state: GoState, symmetry: int = 0,
                 ladder_capture: jax.Array | None = None,
                 ladder_escape: jax.Array | None = None,
-                libs_after: tuple | None = None) -> jax.Array:
+                libs_after: tuple | None = None,
+                point_libs: jax.Array | None = None,
+                pseudo: tuple | None = None) -> jax.Array:
     """float32[19, 19, 32] feature planes (NHWC once batched).
 
     ``symmetry`` indexes the D8 transform table (0 = identity) and must be a
@@ -111,15 +113,19 @@ def features_v1(state: GoState, symmetry: int = 0,
     stones = state.stones
     me = state.to_move
     opp = (OFFBOARD - me).astype(stones.dtype)
-    point_libs, _ = chain_liberties(stones, state.chain_id)
+    if point_libs is None:
+        point_libs, _ = chain_liberties(stones, state.chain_id)
 
     own = stones == me
     other = stones == opp
     own_libs = jnp.where(own, point_libs, 0)
     opp_libs = jnp.where(other, point_libs, 0)
 
-    valid_me = pseudo_legal_mask(state, me)
-    valid_opp = pseudo_legal_mask(state, opp)
+    if pseudo is not None:
+        valid_me, valid_opp = pseudo
+    else:
+        valid_me = pseudo_legal_mask(state, me)
+        valid_opp = pseudo_legal_mask(state, opp)
     if libs_after is not None:  # precomputed (Pallas kernel, ops/libs_after)
         raw_me, raw_opp = libs_after
     else:
@@ -172,23 +178,27 @@ def features_v1_batch(states: GoState, with_ladders: bool = False,
     if not use_kernel:
         return jax.vmap(
             lambda s: features_v1_full(s, with_ladders))(states)
-    from ..ops.libs_after import liberties_after_both
+    from ..ops.libs_after import board_features_raw
 
-    lb, lw = liberties_after_both(states)
+    raw = board_features_raw(states)
     me_black = (states.to_move == 1)[:, None]
-    libs_me = jnp.where(me_black, lb, lw)
-    libs_opp = jnp.where(me_black, lw, lb)
+    libs_me = jnp.where(me_black, raw["libs_if_black"], raw["libs_if_white"])
+    libs_opp = jnp.where(me_black, raw["libs_if_white"], raw["libs_if_black"])
+    pseudo_me = jnp.where(me_black, raw["pseudo_black"], raw["pseudo_white"])
+    pseudo_opp = jnp.where(me_black, raw["pseudo_white"], raw["pseudo_black"])
 
-    def one(state, lm, lo):
+    def one(state, lm, lo, pls, pm, po):
+        kwargs = dict(libs_after=(lm, lo), point_libs=pls, pseudo=(pm, po))
         if with_ladders:
             from .ladder import ladder_planes
 
             cap, esc = ladder_planes(state)
             return features_v1(state, ladder_capture=cap, ladder_escape=esc,
-                               libs_after=(lm, lo))
-        return features_v1(state, libs_after=(lm, lo))
+                               **kwargs)
+        return features_v1(state, **kwargs)
 
-    return jax.vmap(one)(states, libs_me, libs_opp)
+    return jax.vmap(one)(states, libs_me, libs_opp, raw["point_libs"],
+                         pseudo_me, pseudo_opp)
 
 
 def features_v1_full(state: GoState, with_ladders: bool = False,

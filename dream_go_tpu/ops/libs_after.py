@@ -72,6 +72,31 @@ def _kernel(consts_ref, stones_ref, cid_ref, out_ref):
         .reshape(1, NP)                                  # [1, c]
     libs1 = (chain_libs == 1.0).astype(jnp.float32)      # [1, c]
 
+    # per-point liberty count (one-hot matvec) + pseudo-legality per color
+    pl_q = jnp.dot(m, chain_libs.reshape(NP, 1),
+                   preferred_element_type=jnp.float32).reshape(1, NP)
+    out_ref[0, 2:3, :] = pl_q.astype(jnp.int32)
+
+    stones_f = stones.astype(jnp.float32)
+    mask_row = {1: 1, -1: 2, N: 3, -N: 4}
+    nbr = []
+    for s in _SHIFTS:
+        mk = consts_ref[mask_row[s]:mask_row[s] + 1, :] > 0
+        nbr.append((jnp.where(mk, _roll(stones_f, s % NP, 1), 3.0),
+                    jnp.where(mk, _roll(pl_q, s % NP, 1), 0.0)))
+    for color in (1, 2):
+        cf = float(color)
+        of = float(3 - color)
+        has_empty = jnp.zeros((1, NP), bool)
+        own_ok = jnp.zeros((1, NP), bool)
+        cap_ok = jnp.zeros((1, NP), bool)
+        for st_k, pl_k in nbr:
+            has_empty |= st_k == 0.0
+            own_ok |= (st_k == cf) & (pl_k >= 2.0)
+            cap_ok |= (st_k == of) & (pl_k == 1.0)
+        pseudo = (empty > 0) & (has_empty | own_ok | cap_ok)
+        out_ref[0, 2 + color:3 + color, :] = pseudo.astype(jnp.int32)
+
     for color in (1, 2):
         own_col = ((stones == color) & valid).astype(jnp.float32) \
             .reshape(NP, 1)
@@ -106,6 +131,7 @@ def _kernel(consts_ref, stones_ref, cid_ref, out_ref):
         nodiag = 1.0 - ident
         count = jnp.sum(open_after * reach * nodiag, axis=1).reshape(1, NP)
         out_ref[0, color - 1:color, :] = count.astype(jnp.int32)
+    out_ref[0, 5:8, :] = jnp.zeros((3, NP), jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -136,9 +162,44 @@ def liberties_after_both(states: goe.GoState, interpret: bool = False):
             pl.BlockSpec((1, 1, NP), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 2, NP), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, 8, NP), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, 2, NP), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((b, 8, NP), jnp.int32),
         interpret=interpret,
     )(consts, stones, cid)
     return out[:, 0, :NN], out[:, 1, :NN]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def board_features_raw(states: goe.GoState, interpret: bool = False):
+    """One kernel pass -> dict of per-point feature ingredients:
+    libs_if_black/white, point_libs, pseudo_black/white (int32[B, 361])."""
+    b = states.stones.shape[0]
+    pad = lambda x, fill: jnp.concatenate(
+        [x, jnp.full((b, NP - x.shape[1]), fill, x.dtype)], axis=1)
+    stones = pad(states.stones.astype(jnp.int32), 0)[:, None, :]
+    cid = pad(states.chain_id, 0)[:, None, :]
+    consts = jnp.asarray(np.stack(
+        [_VALID, _MASKS[1], _MASKS[-1], _MASKS[N], _MASKS[-N],
+         np.zeros(NP, bool), np.zeros(NP, bool), np.zeros(NP, bool)])
+        .astype(np.int32))
+    out = pl.pallas_call(
+        _kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((8, NP), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NP), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NP), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, NP), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 8, NP), jnp.int32),
+        interpret=interpret,
+    )(consts, stones, cid)
+    return dict(
+        libs_if_black=out[:, 0, :NN], libs_if_white=out[:, 1, :NN],
+        point_libs=out[:, 2, :NN],
+        pseudo_black=out[:, 3, :NN] > 0, pseudo_white=out[:, 4, :NN] > 0)

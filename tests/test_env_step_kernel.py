@@ -101,3 +101,25 @@ def test_step_via_onehot_matches_engine():
                                   np.asarray(want.stones))
     np.testing.assert_array_equal(np.asarray(got.pass_count),
                                   np.asarray(want.pass_count))
+
+
+def test_feature_kernel_path_matches_xla_path(monkeypatch):
+    """features_v1_batch(use_kernel=True) must equal the XLA path exactly."""
+    from dream_go_tpu.go import features
+    import dream_go_tpu.ops.libs_after as L
+    # interpret mode for the kernel on CPU
+    orig = L.board_features_raw
+    monkeypatch.setattr(
+        L, "board_features_raw",
+        lambda states, interpret=True: orig(states, interpret=True))
+    rng = np.random.default_rng(4)
+    states = engine.new_states(3)
+    step = jax.jit(engine.step_batch)
+    for _ in range(50):
+        masks = np.asarray(jax.jit(engine.legal_mask_batch)(states))
+        moves = [int(rng.choice(np.flatnonzero(masks[g][:361])))
+                 for g in range(3)]
+        states = step(states, jnp.asarray(moves, jnp.int32))
+    ref = np.asarray(features.features_v1_batch(states, False, False))
+    got = np.asarray(features.features_v1_batch(states, False, True))
+    np.testing.assert_array_equal(got, ref)
