@@ -61,9 +61,10 @@ class GoState(struct.PyTreeNode):
 
     stones: jax.Array        # int8[361]
     chain_id: jax.Array      # int32[361] (valid where stones != EMPTY)
-    chain_xor: jax.Array     # uint32[361, 2]: per-chain XOR of zobrist
-    #                          entries, indexed by chain id (kept
-    #                          incrementally; see _place)
+    chain_xor: jax.Array     # uint32[361, 2]: per-POINT copy of the zobrist
+    #                          XOR aggregate of the chain containing each
+    #                          stone (every member row is written on merge,
+    #                          so neighbor reads are static gathers; _place)
     to_move: jax.Array       # int8 scalar: BLACK or WHITE
     hash: jax.Array          # uint32[2]
     hash_hist: jax.Array     # uint32[history_len, 2] ring of post-move hashes
@@ -148,8 +149,9 @@ def chain_liberties(stones: jax.Array, chain_id: jax.Array):
 def recompute_chain_xor(stones: jax.Array, chain_id: jax.Array) -> jax.Array:
     """uint32[361, 2]: per-chain XOR of zobrist entries (from scratch).
 
-    Used to (re)build the incremental ``GoState.chain_xor`` field and in
-    tests; ``_place`` maintains it in O(361) per move.  The bit-plane parity
+    Rows are indexed by chain id; gather through ``chain_id`` to rebuild the
+    per-point ``GoState.chain_xor`` field.  ``_place`` maintains the
+    per-point form in O(361) per move; this is for tests/recovery.  The bit-plane parity
     is computed with an explicit [c, p] compare-reduce (no shared-operand
     matmul: XLA rewrites those into pathological base-dilated convolutions
     under vmap).
@@ -191,10 +193,11 @@ def candidate_hashes(state: GoState, color) -> jax.Array:
     for all candidates at once: ``h ^ z[color][p] ^ XOR(captured chains)``.
     """
     _, nbr_cid, _, cap_keep, _ = _capture_info(state, color)
-    cxor = state.chain_xor                                      # [361, 2]
-    m = jnp.where(cap_keep[:, :, None],
-                  cxor[jnp.clip(nbr_cid, 0, NN - 1)],
-                  jnp.uint32(0))                                # [361, 4, 2]
+    # chain_xor is maintained per POINT (every stone holds its chain's
+    # aggregate), so neighbor reads are static gathers, not id lookups
+    cxor_p = jnp.concatenate(
+        [state.chain_xor, jnp.zeros((1, 2), jnp.uint32)])[_NBR]  # [361,4,2]
+    m = jnp.where(cap_keep[:, :, None], cxor_p, jnp.uint32(0))
     cap_xor = m[:, 0] ^ m[:, 1] ^ m[:, 2] ^ m[:, 3]
     z_me = jnp.where(jnp.asarray(color) == BLACK, _ZB, _ZW)
     return state.hash[None, :] ^ z_me ^ cap_xor                 # [361, 2]
@@ -313,18 +316,17 @@ def _place(state: GoState, p: jax.Array) -> GoState:
     # hash: own stone in, captured chains out via the incremental per-chain
     # XOR aggregates (O(1) lookups instead of any reduction)
     z_me = jnp.where(me == BLACK, _ZB, _ZW)
-    cap_rows = jnp.where(cap_keep_p[:, None],
-                         state.chain_xor[jnp.clip(nbr_cid_p, 0, NN - 1)],
-                         jnp.uint32(0))                          # [4, 2]
+    nbr_p = jnp.asarray(_NBR)[p]                                 # [4]
+    cxor_nbr = jnp.concatenate(
+        [state.chain_xor, jnp.zeros((1, 2), jnp.uint32)])[nbr_p]  # [4, 2]
+    cap_rows = jnp.where(cap_keep_p[:, None], cxor_nbr, jnp.uint32(0))
     cap_xor = cap_rows[0] ^ cap_rows[1] ^ cap_rows[2] ^ cap_rows[3]
     h2 = state.hash ^ z_me[p] ^ cap_xor
 
     # maintain chain_xor: the merged chain's aggregate = z[p] ^ XOR of the
     # (deduplicated) adjacent own chains; captured chains' rows die
     own_keep = _dedup4(nbr_cid_p, own_k)
-    own_rows = jnp.where(own_keep[:, None],
-                         state.chain_xor[jnp.clip(nbr_cid_p, 0, NN - 1)],
-                         jnp.uint32(0))                          # [4, 2]
+    own_rows = jnp.where(own_keep[:, None], cxor_nbr, jnp.uint32(0))
     new_xor = z_me[p] ^ own_rows[0] ^ own_rows[1] ^ own_rows[2] ^ own_rows[3]
     cxor2 = jnp.where((member | at_p)[:, None], new_xor[None, :],
                       state.chain_xor)

@@ -305,11 +305,8 @@ def pack_states(states: goe.GoState):
         [x, jnp.full((b, NP - x.shape[1]), fill, x.dtype)], axis=1)
     stones = pad(states.stones.astype(jnp.int32), 0)
     cid = pad(states.chain_id, 0)
-    # per-point chain aggregate = chain_xor[cid[q]] (empty points: 0)
-    cx = jnp.take_along_axis(states.chain_xor,
-                             jnp.clip(states.chain_id, 0, NN - 1)[..., None],
-                             axis=1)                       # [B, 361, 2]
-    cx = jnp.where((states.stones != 0)[..., None], cx, 0)
+    # chain_xor is maintained per point already (see go/engine.py)
+    cx = jnp.where((states.stones != 0)[..., None], states.chain_xor, 0)
     cxp = jnp.concatenate(
         [cx, jnp.zeros((b, NP - NN, 2), jnp.uint32)], axis=1)  # [B, NP, 2]
     cxp = jax.lax.bitcast_convert_type(
@@ -335,9 +332,7 @@ def unpack_states(template: goe.GoState, stones, cid, cxp, hist, meta,
     b = stones.shape[0]
     st = stones[:, 0, :NN].astype(jnp.int8)
     cids = cid[:, 0, :NN]
-    # chain_xor rows: scatter per-point aggregates back to id rows; since
-    # every chain's id is one of its member points, selecting the value at
-    # the id point reconstructs the row: row[c] = cxp[q=c]
+    # per-point aggregates map straight back into the state
     cx = jnp.transpose(
         jax.lax.bitcast_convert_type(cxp, jnp.uint32), (0, 2, 1))[:, :NN, :]
     return template.replace(
