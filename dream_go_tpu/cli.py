@@ -88,6 +88,17 @@ def main(argv=None):
         import jax
         profile_ctx = jax.profiler.trace(args.profile)
         profile_ctx.__enter__()
+    try:
+        _run(args)
+    finally:
+        if profile_ctx is not None:
+            profile_ctx.__exit__(None, None, None)
+
+
+def _run(args):
+    import sys
+
+    from .config import SearchConfig, SelfPlayConfig
 
     if args.loop:
         _rl_loop(args)
@@ -151,8 +162,6 @@ def main(argv=None):
     predictor = _load_predictor(args)
     run_server(GtpEngine(predictor, SearchConfig(),
                          num_rollout=args.num_rollout, ponder=args.ponder))
-    if profile_ctx is not None:
-        profile_ctx.__exit__(None, None, None)
 
 
 def _rl_loop(args):

@@ -122,6 +122,17 @@ def is_scorable(state: GoState) -> jax.Array:
     return jnp.all(ok)
 
 
+def scorable_territory(state: GoState) -> jax.Array:
+    """bool[361]: points Benson-decided (alive or eye) for either color
+    (`score.rs:120-130` get_scorable_territory keeps points where
+    ``!is_valid`` holds for black or white)."""
+    alive_b, eye_b = benson(state.stones, state.chain_id, BLACK)
+    alive_w, eye_w = benson(state.stones, state.chain_id, WHITE)
+    decided_b = alive_b | eye_b
+    decided_w = alive_w | eye_w
+    return decided_b | decided_w
+
+
 def clear_dead(stones: jax.Array, chain_id: jax.Array) -> jax.Array:
     """Remove all stones not unconditionally alive (`score.rs:197-211`)."""
     alive_b, _ = benson(stones, chain_id, BLACK)
