@@ -222,3 +222,70 @@ def apply_symmetry(planes: jax.Array, symmetry: jax.Array) -> jax.Array:
     flat = planes.reshape(planes.shape[:-3] + (NN, planes.shape[-1]))
     perm = jnp.asarray(SYM)[symmetry]
     return jnp.take(flat, perm, axis=-2).reshape(planes.shape)
+
+
+# static corner/edge masks for the V2 plane set
+_VX = np.arange(NN) % 19
+_VY = np.arange(NN) // 19
+_IS_EDGE_RING = (_VX == 0) | (_VX == 18) | (_VY == 0) | (_VY == 18)
+_IS_CORNER_PT = ((_VX == 0) | (_VX == 18)) & ((_VY == 0) | (_VY == 18))
+
+NUM_FEATURES_V2 = 18
+
+
+def features_v2(state: GoState, with_ladders: bool = False) -> jax.Array:
+    """float32[19, 19, 18]: the alternative V2 plane set
+    (`features.rs:253-396`; not the upstream default).
+
+    0 ones; 1 komi from the mover's perspective in [-1, 1] (the reference's
+    ``self_komi`` has a clamp bug that pins it to -1 — the intended clip is
+    implemented here); 2 own stones; 3 opponent stones; 4-7 chains with
+    exactly 1..4 liberties; 8-9 would-have exactly 1..2 liberties if played;
+    10 valid move; 11 own Benson eye; 12 opponent Benson eye; 13 super-ko;
+    14 ladder capture; 15 ladder escape; 16 corner; 17 edge.
+    """
+    from .benson import benson
+
+    stones = state.stones
+    me = state.to_move
+    opp = (OFFBOARD - me).astype(stones.dtype)
+    point_libs, _ = chain_liberties(stones, state.chain_id)
+    valid_me = pseudo_legal_mask(state, me)
+    libs_if_me = jnp.where(valid_me, liberties_if(state, me), 0)
+    ko = superko_mask(state, me) & valid_me
+    _, eye_me = benson(stones, state.chain_id, me)
+    _, eye_opp = benson(stones, state.chain_id, opp)
+
+    komi_signed = jnp.where(me == BLACK, -state.komi, state.komi)
+    komi_c = jnp.clip(komi_signed / 7.5, -1.0, 1.0)
+
+    if with_ladders:
+        from .ladder import ladder_planes
+
+        cap, esc = ladder_planes(state)
+    else:
+        cap = jnp.zeros(NN, bool)
+        esc = jnp.zeros(NN, bool)
+
+    f32 = lambda x: jnp.asarray(x).astype(jnp.float32)
+    planes = [
+        jnp.ones(NN, jnp.float32),                       # 0
+        jnp.full(NN, 1.0) * komi_c,                      # 1
+        f32(stones == me),                               # 2
+        f32(stones == opp),                              # 3
+        f32(point_libs == 1),                            # 4
+        f32(point_libs == 2),                            # 5
+        f32(point_libs == 3),                            # 6
+        f32(point_libs == 4),                            # 7
+        f32(valid_me & (libs_if_me == 1)),               # 8
+        f32(valid_me & (libs_if_me == 2)),               # 9
+        f32(valid_me),                                   # 10
+        f32(eye_me),                                     # 11
+        f32(eye_opp),                                    # 12
+        f32(ko),                                         # 13
+        f32(cap & valid_me),                             # 14
+        f32(esc & valid_me),                             # 15
+        f32(jnp.asarray(_IS_CORNER_PT)),                 # 16
+        f32(jnp.asarray(_IS_EDGE_RING & ~_IS_CORNER_PT)),  # 17
+    ]
+    return jnp.stack(planes, axis=-1).reshape(19, 19, NUM_FEATURES_V2)

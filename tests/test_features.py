@@ -96,3 +96,17 @@ def test_symmetry_permutes_planes():
     f1b = np.asarray(jax.jit(features.apply_symmetry)(
         features.features_v1(s, symmetry=0), jnp.int32(1))).reshape(361, 32)
     np.testing.assert_array_equal(f1b, f1)
+
+
+def test_features_v2_planes():
+    s, b = play_random(8, 50)
+    f = np.asarray(jax.jit(features.features_v2)(s)).reshape(361, 18)
+    assert np.all(f[:, 0] == 1.0)                      # ones plane
+    to_move = int(np.asarray(s.to_move))
+    np.testing.assert_array_equal(
+        f[:, 2], (np.asarray(s.stones) == to_move).astype(np.float32))
+    # exactly-one-liberty plane matches the oracle liberty map
+    libs = b.liberty_map()
+    np.testing.assert_array_equal(f[:, 4], (libs == 1).astype(np.float32))
+    # corners and edges are static
+    assert f[0, 16] == 1.0 and f[1, 17] == 1.0 and f[20, 16] == 0.0
