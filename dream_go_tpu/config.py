@@ -114,6 +114,7 @@ class SearchConfig:
     adaptive: bool = False             # EARLY-C chunked early termination
     feature_kernel: bool = False       # Pallas liberties-after kernel (TPU)
     step_kernel: bool = False          # Pallas env-step for leaf expansion
+    feature_set: str = "v1"            # input plane family ("v1" / "v2")
 
     def resolved_max_nodes(self) -> int:
         return self.max_nodes if self.max_nodes > 0 else self.num_rollout + 8
@@ -143,7 +144,8 @@ class ModelConfig:
     num_channels: int = 128
     num_blocks: int = 9
     num_samples: int = 8               # policy-head channels
-    num_features: int = 32             # V1 input planes (features.rs:88-90)
+    num_features: int = 32             # input planes (32 for v1, 18 for v2)
+    feature_set: str = "v1"            # "v1" (default) or "v2"
     compute_dtype: str = "bfloat16"
 
 

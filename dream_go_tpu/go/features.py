@@ -171,6 +171,15 @@ def features_v1(state: GoState, symmetry: int = 0,
     return feats.reshape(19, 19, NUM_FEATURES_V1)
 
 
+def extract_batch(states: GoState, feature_set: str = "v1",
+                  with_ladders: bool = False,
+                  use_kernel: bool = False) -> jax.Array:
+    """Batched features for the configured plane set."""
+    if feature_set == "v2":
+        return jax.vmap(lambda s: features_v2(s, with_ladders))(states)
+    return features_v1_batch(states, with_ladders, use_kernel)
+
+
 def features_v1_batch(states: GoState, with_ladders: bool = False,
                       use_kernel: bool = False) -> jax.Array:
     """Batched feature extraction; ``use_kernel`` offloads the

@@ -249,8 +249,8 @@ def init_trees(states: GoState, predictor: Predictor, rng: jax.Array,
                cfg: SearchConfig, num_nodes: int,
                use_scoring: jax.Array | None) -> Tree:
     """Evaluate roots (batched) and allocate one tree per game."""
-    feats = features.features_v1_batch(states, cfg.ladder_features,
-                                       cfg.feature_kernel)
+    feats = features.extract_batch(states, cfg.feature_set,
+                                   cfg.ladder_features, cfg.feature_kernel)
     value, policy = predictor(feats)
     cand_std = jax.vmap(standard_mask)(states)
     if use_scoring is None:
@@ -281,8 +281,9 @@ def run_search(trees: Tree, predictor: Predictor, cfg: SearchConfig,
         else:
             node, action, leaf_states = jax.vmap(
                 lambda t: _leaf(t, cfg))(trees)
-        feats = features.features_v1_batch(
-            leaf_states, cfg.ladder_features, cfg.feature_kernel)
+        feats = features.extract_batch(
+            leaf_states, cfg.feature_set, cfg.ladder_features,
+            cfg.feature_kernel)
         value, policy = predictor(feats)
         if use_scoring is None:
             return jax.vmap(

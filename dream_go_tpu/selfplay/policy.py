@@ -55,22 +55,23 @@ class PolicyPlayer:
 
     def __init__(self, predictor: Predictor, *, temperature: float = 0.7,
                  cutoff_percentile: float = 0.5, sym_average: bool = False,
-                 ladder_features: bool = False):
+                 ladder_features: bool = False, feature_set: str = "v1"):
         self.predict = symmetrize(predictor) if sym_average else predictor
         self.temperature = temperature
         self.cutoff_percentile = cutoff_percentile
         self.ladder_features = ladder_features
+        self.feature_set = feature_set
 
 
 def _build_move_fn(player: PolicyPlayer):
     """One lockstep move for the whole batch, jitted."""
 
     ladders = getattr(player, "ladder_features", False)
+    feature_set = getattr(player, "feature_set", "v1")
 
     @jax.jit
     def move_fn(states: engine.GoState, rng: jax.Array):
-        feats = jax.vmap(
-            lambda s: features.features_v1_full(s, ladders))(states)
+        feats = features.extract_batch(states, feature_set, ladders)
         value, policy = player.predict(feats)
 
         scorable = jax.vmap(bn.is_scorable)(states)

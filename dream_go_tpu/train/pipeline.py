@@ -125,9 +125,10 @@ class ExampleSource:
     def __init__(self, lines: list[str], batch_size: int, seed: int = 0,
                  history_len: int = 16, augment: bool = True,
                  ladder_features: bool = False, lz_history: bool = False,
-                 use_native: bool | None = None):
+                 use_native: bool | None = None, feature_set: str = "v1"):
         self.ladder_features = ladder_features
         self.lz_history = lz_history
+        self.feature_set = feature_set
         if use_native is None:
             from .. import native
             use_native = native.available()
@@ -175,7 +176,7 @@ class ExampleSource:
             jnp.asarray(out["komi"]),
             {k: jnp.asarray(v) for k, v in labels.items()},
             sub, self.history_len, self.augment, self.ladder_features,
-            self.lz_history)
+            self.lz_history, self.feature_set)
 
     def _make_batch(self, games: list[ParsedGame]):
         b = self.batch_size
@@ -201,13 +202,14 @@ class ExampleSource:
             jnp.asarray(moves), jnp.asarray(targets), jnp.asarray(komi),
             {k: jnp.asarray(v) for k, v in labels.items()},
             sub, self.history_len, self.augment, self.ladder_features,
-            self.lz_history)
+            self.lz_history, self.feature_set)
         return feats, labels
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
 def _device_batch(moves, targets, komi, labels, rng, history_len, augment,
-                  ladder_features=False, lz_history=False):
+                  ladder_features=False, lz_history=False,
+                  feature_set="v1"):
     """Replay -> features -> random D8 augmentation + history dropout.
 
     With ``lz_history`` the labels dict gains an ``lz_features`` entry
@@ -219,8 +221,7 @@ def _device_batch(moves, targets, komi, labels, rng, history_len, augment,
                       lz_features=jax.vmap(lz_features)(states, hist))
     else:
         states = states_at(moves, targets, komi, history_len)
-    feats = jax.vmap(
-        lambda s: features.features_v1_full(s, ladder_features))(states)
+    feats = features.extract_batch(states, feature_set, ladder_features)
     if not augment:
         return feats, labels
     b = feats.shape[0]

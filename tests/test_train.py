@@ -113,3 +113,23 @@ def test_distributed_helpers_single_process():
     D.initialize()  # no-op standalone
     start, count = D.local_game_slice(100)
     assert (start, count) == (0, 100)
+
+
+def test_v2_feature_training_end_to_end():
+    """A V2-feature model trains on self-play data (18-plane pipeline)."""
+    from dream_go_tpu.config import SelfPlayConfig
+    from dream_go_tpu.mcts import predictor as P
+    from dream_go_tpu.selfplay.policy import PolicyPlayer, policy_self_play
+
+    lines = policy_self_play(
+        PolicyPlayer(P.random_predictor()),
+        SelfPlayConfig(num_games=3, max_moves=32), seed=13)
+    src = ExampleSource(lines, batch_size=4, seed=0, feature_set="v2")
+    feats, labels = next(iter(src.batches(1)))
+    assert feats.shape == (4, 19, 19, 18)
+    trainer = Trainer.create(
+        ModelConfig(num_channels=8, num_blocks=1, num_samples=2,
+                    num_features=18, feature_set="v2"),
+        TrainConfig(batch_size=4), seed=0)
+    metrics = trainer.fit(src, num_steps=2, log_every=0)
+    assert np.isfinite(metrics["loss"])
