@@ -244,8 +244,10 @@ def _device_batch(moves, targets, komi, labels, rng, history_len, augment,
         labels = dict(labels, lz_features=lz.reshape(b, 19, 19, 18))
 
     # history-plane dropout: zero the last-move planes (3:5) 5% of the time
-    drop = jax.random.uniform(k_hist, (b,)) < 0.05
-    hist_mask = jnp.ones((32,)).at[3:5].set(0.0)
-    feats = jnp.where(drop[:, None, None, None],
-                      feats * hist_mask, feats)
+    # (v1 only — the v2 set has no history planes)
+    if feature_set == "v1":
+        drop = jax.random.uniform(k_hist, (b,)) < 0.05
+        hist_mask = jnp.ones((feats.shape[-1],)).at[3:5].set(0.0)
+        feats = jnp.where(drop[:, None, None, None],
+                          feats * hist_mask, feats)
     return feats, labels
