@@ -189,6 +189,12 @@ def _trainer_procedures(args):
     from .train.train_loop import Trainer
 
     tcfg = TrainConfig(batch_size=args.batch_size)
+    data_path = args.start or args.resume or args.verify
+    lines = None
+    if data_path:
+        with open(data_path) as fh:
+            lines = [l.strip() for l in fh if l.strip()]
+
     # --resume DATA --checkpoint CKPT: restore weights, keep training on DATA
     if (args.resume or args.verify or args.dump) and args.checkpoint:
         trainer = Trainer.restore(args.checkpoint, tcfg)
@@ -196,17 +202,20 @@ def _trainer_procedures(args):
         mcfg = ModelConfig(num_channels=args.num_channels,
                            num_blocks=args.num_blocks,
                            num_samples=args.num_samples)
-        trainer = Trainer.create(mcfg, tcfg, seed=args.seed)
+        # fresh model: seed the policy bias with the data's log move
+        # frequency (the reference's policy_offset_op, computed not shipped)
+        policy_bias = None
+        if lines:
+            from .train.train_loop import policy_bias_from_lines
+            policy_bias = policy_bias_from_lines(lines[:2048])
+        trainer = Trainer.create(mcfg, tcfg, seed=args.seed,
+                                 policy_bias=policy_bias)
 
     if args.dump:
         from .models import params as MP
         print(MP.dump_json(trainer.model_cfg, trainer.dump_params(),
                            trainer.state.batch_stats))
         return
-
-    data_path = args.start or args.resume or args.verify
-    with open(data_path) as fh:
-        lines = [l.strip() for l in fh if l.strip()]
     source = ExampleSource(lines, batch_size=args.batch_size, seed=args.seed,
                            lz_history=bool(args.lz_weights))
     if args.lz_weights:

@@ -135,6 +135,8 @@ class SelfPlayConfig:
     random_komi: bool = False          # lib.rs:210-224 komi distribution
     history_len: int = 64              # super-ko hash ring (SmallSet64 parity)
     ladder_features: bool = False      # feature planes 31/32 (reference: on)
+    winrate_rollouts: bool = True      # self_play.rs:232-241 budget scaling
+    winrate_momentum: float = 0.2      # self_play.rs:36 MOMENTUM
 
 
 @dataclasses.dataclass(frozen=True)
@@ -160,6 +162,7 @@ class TrainConfig:
     lr_decay: float = 3.0              # divide by 3 on plateau
     min_lr: float = 1e-5               # stop below this
     l2_coef: float = 1e-4              # decoupled L2 (model_fn.py:104)
+    max_norm: bool = True              # conv column-norm clip (layers:33-50)
     policy_coef: float = 0.12          # model_fn.py:48-78
     value_coef: float = 1.0
     ownership_coef: float = 1.0

@@ -177,14 +177,18 @@ def _leaf_select(tree: Tree, cfg: SearchConfig):
 
 
 def _insert_backup(tree: Tree, node, action, leaf_state: GoState,
-                   value, policy, use_scoring) -> Tree:
+                   value, policy, use_scoring, enabled=None) -> Tree:
     """Attach the evaluated leaf and back its value up to the root.
 
     When the tree is full (possible after subtree reuse), the value is still
-    backed up but no node is inserted.
+    backed up but no node is inserted.  ``enabled=False`` (per-game rollout
+    budget exhausted, `self_play.rs:232-241`) makes the whole call a no-op.
     """
     capacity = tree.node_n.shape[0]
     has_room = tree.size < capacity
+    if enabled is not None:
+        has_room = has_room & enabled
+        node = jnp.where(enabled, node, jnp.int32(-1))
     new = jnp.minimum(tree.size, capacity - 1)
     value = _sane_value(value)
 
@@ -266,10 +270,17 @@ def init_trees(states: GoState, predictor: Predictor, rng: jax.Array,
 
 
 def run_search(trees: Tree, predictor: Predictor, cfg: SearchConfig,
-               num_sims: int, use_scoring: jax.Array) -> Tree:
-    """Run ``num_sims`` lockstep simulations across the whole game batch."""
+               num_sims: int, use_scoring: jax.Array,
+               budget: jax.Array | None = None, start=0) -> Tree:
+    """Run ``num_sims`` lockstep simulations across the whole game batch.
 
-    def sim_step(_, trees):
+    ``budget`` (optional i32[B]) caps per-game simulations: game ``g`` stops
+    contributing once ``start + i >= budget[g]`` (winrate-scaled rollouts,
+    `self_play.rs:232-241`).  Lockstep means no compute is saved inside the
+    loop, but result semantics match and the adaptive driver exits earlier.
+    """
+
+    def sim_step(i, trees):
         if cfg.step_kernel:
             from ..ops.env_step import env_step
 
@@ -285,13 +296,23 @@ def run_search(trees: Tree, predictor: Predictor, cfg: SearchConfig,
             leaf_states, cfg.feature_set, cfg.ladder_features,
             cfg.feature_kernel)
         value, policy = predictor(feats)
-        if use_scoring is None:
+        en = None if budget is None else (start + i) < budget
+        if use_scoring is None and en is None:
             return jax.vmap(
                 lambda t, n, a, s, v, p: _insert_backup(t, n, a, s, v, p, None)
             )(trees, node, action, leaf_states, value, policy)
+        if en is None:
+            return jax.vmap(
+                lambda t, n, a, s, v, p, u: _insert_backup(t, n, a, s, v, p, u)
+            )(trees, node, action, leaf_states, value, policy, use_scoring)
+        if use_scoring is None:
+            return jax.vmap(
+                lambda t, n, a, s, v, p, e:
+                    _insert_backup(t, n, a, s, v, p, None, e)
+            )(trees, node, action, leaf_states, value, policy, en)
         return jax.vmap(
-            lambda t, n, a, s, v, p, u: _insert_backup(t, n, a, s, v, p, u)
-        )(trees, node, action, leaf_states, value, policy, use_scoring)
+            lambda t, n, a, s, v, p, u, e: _insert_backup(t, n, a, s, v, p, u, e)
+        )(trees, node, action, leaf_states, value, policy, use_scoring, en)
 
     return jax.lax.fori_loop(0, num_sims, sim_step, trees)
 
@@ -299,7 +320,8 @@ def run_search(trees: Tree, predictor: Predictor, cfg: SearchConfig,
 def search(states: GoState, predictor: Predictor, rng: jax.Array,
            cfg: SearchConfig, num_sims: int,
            use_scoring: jax.Array | None = None,
-           capacity: int | None = None, adaptive: bool = False) -> Tree:
+           capacity: int | None = None, adaptive: bool = False,
+           budget: jax.Array | None = None) -> Tree:
     """Full search from a batch of root states; returns the trees.
 
     ``use_scoring`` is an optional bool[B] selecting the ScoringSearch
@@ -311,8 +333,9 @@ def search(states: GoState, predictor: Predictor, rng: jax.Array,
                        capacity or (num_sims + 1), use_scoring)
     if adaptive:
         return run_search_adaptive(trees, predictor, cfg, num_sims,
-                                   use_scoring)
-    return run_search(trees, predictor, cfg, num_sims, use_scoring)
+                                   use_scoring, budget=budget)
+    return run_search(trees, predictor, cfg, num_sims, use_scoring,
+                      budget=budget)
 
 
 def search_done(tree: Tree, sims_remaining) -> jax.Array:
@@ -327,26 +350,31 @@ def search_done(tree: Tree, sims_remaining) -> jax.Array:
 
 def run_search_adaptive(trees: Tree, predictor: Predictor, cfg: SearchConfig,
                         num_sims: int, use_scoring: jax.Array | None = None,
-                        check_every: int = 32) -> Tree:
+                        check_every: int = 32,
+                        budget: jax.Array | None = None) -> Tree:
     """Chunked search that exits early once every game's result is decided.
 
     Lockstep note: per-game "done" cannot save work while other games
     continue; the win is the (common) case where the whole batch decides
     early — matching the practical effect of the reference's per-search
-    EARLY-C stop.
+    EARLY-C stop.  A per-game ``budget`` (winrate-scaled rollouts) counts a
+    game as done once its budget is spent, so lopsided batches exit sooner.
     """
     chunks = max(1, (num_sims + check_every - 1) // check_every)
+    batch = trees.node_n.shape[0]
+    cap = jnp.int32(num_sims) if budget is None \
+        else jnp.minimum(jnp.int32(num_sims), budget)
 
     def cond(carry):
         trees, i = carry
-        remaining = jnp.int32(num_sims - i * check_every)
-        all_done = jnp.all(jax.vmap(
-            lambda t: search_done(t, remaining))(trees))
-        return (i < chunks) & ~all_done
+        remaining = jnp.broadcast_to(cap - i * check_every, (batch,))
+        done = jax.vmap(search_done)(trees, remaining) | (remaining <= 0)
+        return (i < chunks) & ~jnp.all(done)
 
     def body(carry):
         trees, i = carry
-        trees = run_search(trees, predictor, cfg, check_every, use_scoring)
+        trees = run_search(trees, predictor, cfg, check_every, use_scoring,
+                           budget=budget, start=i * check_every)
         return trees, i + 1
 
     trees, _ = jax.lax.while_loop(cond, body, (trees, jnp.int32(0)))
@@ -433,7 +461,8 @@ def reroot(tree: Tree, action: jax.Array, noise_rng: jax.Array,
 def search_with_reuse(states: GoState, prev_trees: Tree,
                       prev_actions: jax.Array, predictor: Predictor,
                       rng: jax.Array, cfg: SearchConfig, num_sims: int,
-                      use_scoring: jax.Array | None = None) -> Tree:
+                      use_scoring: jax.Array | None = None,
+                      budget: jax.Array | None = None) -> Tree:
     """Search reusing each game's subtree under the move just played.
 
     ``prev_trees`` must have capacity >= num_sims + largest reused subtree;
@@ -452,7 +481,8 @@ def search_with_reuse(states: GoState, prev_trees: Tree,
         return jnp.where(v, a, b)
 
     trees = jax.tree_util.tree_map(pick, reused, fresh)
-    return run_search(trees, predictor, cfg, num_sims, use_scoring)
+    return run_search(trees, predictor, cfg, num_sims, use_scoring,
+                      budget=budget)
 
 
 # ---------------------------------------------------------------------------

@@ -12,11 +12,13 @@ env step.  Reference semantics preserved:
   afterwards (`lib.rs:162-200`, `tree.rs:1262-1282`);
 - per-move records carry ``TV[n]P[b85 visit softmax]V[value]``
   (`self_play.rs:187-214` `Played::from_mcts`);
-- games end on two consecutive passes or the 722-move cap.
-
-Deviation (documented): the reference scales per-player rollout counts by a
-winrate moving average (`self_play.rs:234-241`) — lockstep batching uses a
-fixed ``num_rollout`` per move instead.
+- games end on two consecutive passes or the 722-move cap;
+- per-player winrate-scaled rollout budgets: each player keeps a moving
+  average of its search values (momentum 0.2, init 0.5) and searches
+  ``clamp(4*w*(1-w), 0.1, 1) * num_rollout`` simulations per move
+  (`self_play.rs:218-241`).  Lockstep batching realises the budget as a
+  per-game cap inside the shared search loop; with ``adaptive`` search the
+  whole batch exits once every game is decided or out of budget.
 """
 
 from __future__ import annotations
@@ -54,24 +56,26 @@ def _build_search_move_fn(predictor: Predictor, search_cfg: SearchConfig,
         return new_states, trees, move, value, targets
 
     @jax.jit
-    def first_move_fn(states: engine.GoState, rng: jax.Array):
+    def first_move_fn(states: engine.GoState, rng: jax.Array,
+                      budget: jax.Array):
         scorable = jax.vmap(bn.is_scorable)(states)
         use_scoring = ~scorable & ~states.done
         k_search, k_move = jax.random.split(rng)
         trees = S.search(states, predictor, k_search, search_cfg, num_sims,
                          use_scoring, capacity=capacity,
-                         adaptive=search_cfg.adaptive)
+                         adaptive=search_cfg.adaptive, budget=budget)
         return finish(states, trees, k_move)
 
     @jax.jit
     def reuse_move_fn(states: engine.GoState, trees: S.Tree,
-                      prev_move: jax.Array, rng: jax.Array):
+                      prev_move: jax.Array, rng: jax.Array,
+                      budget: jax.Array):
         scorable = jax.vmap(bn.is_scorable)(states)
         use_scoring = ~scorable & ~states.done
         k_search, k_move = jax.random.split(rng)
         trees = S.search_with_reuse(states, trees, prev_move, predictor,
                                     k_search, search_cfg, num_sims,
-                                    use_scoring)
+                                    use_scoring, budget=budget)
         return finish(states, trees, k_move)
 
     if not tree_reuse:
@@ -97,20 +101,39 @@ def search_self_play(predictor: Predictor, cfg: SelfPlayConfig,
         tree_reuse=tree_reuse)
     key = jax.random.PRNGKey(seed)
 
+    # per-player winrate moving average -> per-move rollout budget
+    # (`self_play.rs:218-241`; column 0 = black, 1 = white)
+    winrate = np.full((cfg.num_games, 2), 0.5, np.float32)
+    rows = np.arange(cfg.num_games)
+
     records = []
     trees, prev_move = None, None
     for _ in range(cfg.max_moves):
         key, sub = jax.random.split(key)
         active = ~np.asarray(states.done)
         to_move = np.asarray(states.to_move)
+        if cfg.winrate_rollouts:
+            w = winrate[rows, np.maximum(to_move, 1) - 1]
+            m = np.maximum(4.0 * w * (1.0 - w), 0.1)
+            budget = (m * cfg.num_rollout).astype(np.int32)
+        else:
+            budget = np.full(cfg.num_games, cfg.num_rollout, np.int32)
+        jbudget = jnp.asarray(budget)
         if trees is None or reuse_fn is None:
-            states, trees, move, value, targets = first_fn(states, sub)
+            states, trees, move, value, targets = first_fn(
+                states, sub, jbudget)
         else:
             states, trees, move, value, targets = reuse_fn(
-                states, trees, prev_move, sub)
+                states, trees, prev_move, sub, jbudget)
         prev_move = move
-        records.append((active, np.asarray(move), np.asarray(value), to_move,
-                        np.asarray(targets, dtype=np.float16)))
+        value = np.asarray(value)
+        if cfg.winrate_rollouts:
+            col = np.maximum(to_move, 1) - 1
+            upd = winrate[rows, col] - cfg.winrate_momentum * (
+                winrate[rows, col] - value)
+            winrate[rows, col] = np.where(active, upd, winrate[rows, col])
+        records.append((active, np.asarray(move), value, to_move,
+                        np.asarray(targets, dtype=np.float16), budget))
         if bool(np.all(np.asarray(states.done))):
             break
 
@@ -119,12 +142,12 @@ def search_self_play(predictor: Predictor, cfg: SelfPlayConfig,
     games = []
     for g in range(cfg.num_games):
         sgf_moves = []
-        for active, move, value, to_move, targets in records:
+        for active, move, value, to_move, targets, budget in records:
             if not active[g]:
                 break
             sgf_moves.append(Played(
                 to_move=int(to_move[g]), point=int(move[g]),
-                value=float(value[g]), num_rollout=cfg.num_rollout,
+                value=float(value[g]), num_rollout=int(budget[g]),
                 softmax=targets[g]).to_sgf())
         games.append(game_result_sgf(
             "".join(sgf_moves), komi=float(komis[g]),

@@ -25,6 +25,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 
@@ -48,13 +49,65 @@ def _decay_mask(params):
                             for k in path), params)
 
 
+def normalize_conv_kernels(params):
+    """Per-output-column max-norm projection on conv kernels.
+
+    `contrib/trainer/dream_tf/layers/__init__.py:33-50` rescales each output
+    column (kernel flattened to [inputs, out]) so its L2 norm lies in
+    ``[0.001, 1/sqrt(out_dims)]``, applied via a TF custom getter at every
+    variable read.  Projecting after each optimizer step (and once at init)
+    reaches the same fixed point without doubling forward-pass reads.
+    """
+    def proj(path, w):
+        is_kernel = any(getattr(k, "key", None) == "kernel" for k in path)
+        if not is_kernel or w.ndim != 4:
+            return w
+        out = w.shape[-1]
+        flat = w.reshape(-1, out)
+        n = jnp.linalg.norm(flat, axis=0)
+        d = jnp.clip(n, 0.001, jax.lax.rsqrt(jnp.float32(out)))
+        flat = flat * jnp.where(n > 0.0, d / jnp.maximum(n, 1e-12), 0.0)
+        return flat.reshape(w.shape)
+
+    return jax.tree_util.tree_map_with_path(proj, params)
+
+
+def policy_bias_from_lines(lines) -> np.ndarray:
+    """Empirical log move frequency for the policy-head bias.
+
+    The reference seeds the policy ``linear_1`` bias with a precomputed
+    log-move-frequency table (`layers/policy_head.py:56-121`
+    ``policy_offset_op``); we compute the same quantity from training data
+    (Laplace-smoothed) instead of shipping the constant.
+    """
+    from .pipeline import parse_game
+
+    counts = np.ones(362, np.float64)
+    for line in lines:
+        game = parse_game(line)
+        if game is not None:
+            np.add.at(counts, np.minimum(game.moves, 361), 1.0)
+    return np.log(counts / counts.sum()).astype(np.float32)
+
+
+def set_policy_bias(params, bias):
+    """Install a 362-entry bias vector into the policy head's linear layer."""
+    params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
+    params["policy"]["linear_1"]["bias"] = jnp.asarray(bias, jnp.float32)
+    return params
+
+
 def make_optimizer() -> optax.GradientTransformation:
     """Adam with injectable LR; decoupled L2 is applied separately."""
     return optax.inject_hyperparams(optax.adam)(learning_rate=3e-4)
 
 
-def init_state(model_cfg: ModelConfig, rng: jax.Array) -> TrainState:
+def init_state(model_cfg: ModelConfig, rng: jax.Array,
+               policy_bias=None) -> TrainState:
     params, batch_stats = T.init_tower(model_cfg, rng)
+    params = normalize_conv_kernels(params)
+    if policy_bias is not None:
+        params = set_policy_bias(params, policy_bias)
     opt_state = make_optimizer().init(params)
     return TrainState(params=params, batch_stats=batch_stats,
                       opt_state=opt_state, step=jnp.int32(0))
@@ -85,6 +138,8 @@ def train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
         updates, state.params, mask)
 
     params = optax.apply_updates(state.params, updates)
+    if train_cfg.max_norm:
+        params = normalize_conv_kernels(params)
     return TrainState(params=params, batch_stats=new_stats,
                       opt_state=opt_state, step=state.step + 1), metrics
 
@@ -122,9 +177,11 @@ class Trainer:
 
     @staticmethod
     def create(model_cfg: ModelConfig, train_cfg: TrainConfig,
-               seed: int = 0, warm_start: bool = False) -> "Trainer":
+               seed: int = 0, warm_start: bool = False,
+               policy_bias=None) -> "Trainer":
         lr = train_cfg.warm_start_lr if warm_start else train_cfg.initial_lr
-        state = init_state(model_cfg, jax.random.PRNGKey(seed))
+        state = init_state(model_cfg, jax.random.PRNGKey(seed),
+                           policy_bias=policy_bias)
         return Trainer(
             model_cfg=model_cfg, train_cfg=train_cfg, state=state,
             scheduler=LearningRateScheduler(lr, train_cfg.lr_decay),

@@ -159,3 +159,33 @@ class TestDump:
         sgf_text = D.to_sgf(one)
         assert sgf_text.startswith("(;GM[1]FF[4]")
         assert "B[dp]" in sgf_text  # D4 in sgf coords
+
+
+class TestRolloutBudget:
+    """Per-game simulation budgets (winrate-scaled rollouts,
+    `self_play.rs:218-241`)."""
+
+    def test_budget_caps_root_visits_per_game(self):
+        states = engine.new_states(3)
+        budget = jnp.asarray([4, 11, 100], jnp.int32)
+        pred = P.fake_predictor(coords.from_gtp("D4"))
+        fn = jax.jit(lambda st, rng: S.search(
+            st, pred, rng, CFG, 16, budget=budget))
+        trees = fn(states, jax.random.PRNGKey(0))
+        # root visit count = init visit + one per enabled simulation
+        root_n = np.asarray(trees.node_n[:, 0])
+        np.testing.assert_array_equal(root_n, [1 + 4, 1 + 11, 1 + 16])
+
+    def test_budget_adaptive_matches_plain(self):
+        states = engine.new_states(2)
+        budget = jnp.asarray([6, 9], jnp.int32)
+        pred = P.random_predictor()
+        plain = jax.jit(lambda st, rng: S.search(
+            st, pred, rng, CFG, 12, budget=budget))(
+                states, jax.random.PRNGKey(1))
+        adapt = jax.jit(lambda st, rng: S.search(
+            st, pred, rng, CFG, 12, budget=budget, adaptive=True))(
+                states, jax.random.PRNGKey(1))
+        # budgets exhaust before the sim cap, so both paths see the same sims
+        np.testing.assert_array_equal(np.asarray(plain.node_n[:, 0]),
+                                      np.asarray(adapt.node_n[:, 0]))

@@ -133,3 +133,45 @@ def test_v2_feature_training_end_to_end():
         TrainConfig(batch_size=4), seed=0)
     metrics = trainer.fit(src, num_steps=2, log_every=0)
     assert np.isfinite(metrics["loss"])
+
+
+def test_max_norm_projection_bounds_conv_columns():
+    import jax
+    import jax.numpy as jnp
+    from dream_go_tpu.train.train_loop import (init_state,
+                                               normalize_conv_kernels)
+
+    state = init_state(ModelConfig(num_channels=16, num_blocks=1),
+                       jax.random.PRNGKey(0))
+
+    def check(path, w):
+        if any(getattr(k, "key", None) == "kernel" for k in path) \
+                and w.ndim == 4:
+            n = np.linalg.norm(np.asarray(w).reshape(-1, w.shape[-1]), axis=0)
+            assert np.all(n <= 1.0 / np.sqrt(w.shape[-1]) + 1e-5), path
+
+    jax.tree_util.tree_map_with_path(check, state.params)
+    # projection is idempotent
+    again = normalize_conv_kernels(state.params)
+    for a, b in zip(jax.tree_util.tree_leaves(again),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_policy_bias_from_lines(sample_lines=None):
+    import jax
+    from dream_go_tpu.train.train_loop import (policy_bias_from_lines,
+                                               set_policy_bias, init_state)
+
+    lines = _lines()
+    bias = policy_bias_from_lines(lines)
+    assert bias.shape == (362,)
+    assert np.all(bias < 0)  # log probabilities
+    # moves that occur in the data get a larger (less negative) bias
+    probs = np.exp(bias)
+    np.testing.assert_allclose(probs.sum(), 1.0, atol=1e-5)
+
+    state = init_state(ModelConfig(num_channels=16, num_blocks=1),
+                       jax.random.PRNGKey(0), policy_bias=bias)
+    got = np.asarray(state.params["policy"]["linear_1"]["bias"])
+    np.testing.assert_allclose(got, bias, atol=1e-6)
