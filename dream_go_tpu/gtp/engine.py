@@ -83,6 +83,28 @@ class GtpEngine:
         # assume ~2ms per simulation at batch 1 as a conservative floor
         return max(16, min(self.num_rollout, int(budget / 0.002)))
 
+    def _maybe_extend(self, trees, color: int, sims: int, cleanup: bool):
+        """UNST-N search extensions (`time_control/byo_yomi.rs:106-148`):
+        while time-managed, the most visited root child is not the best one,
+        and fewer than two extensions have been taken, keep searching (the
+        reference multiplies the period by 1.75; we add 0.75 * sims)."""
+        if self.time_settings.budget(color) == float("inf"):
+            return trees
+        ext = max(16, int(0.75 * sims))
+        for _ in range(2):
+            unstable = bool(np.asarray(
+                jax.vmap(S.search_unstable)(trees))[0])
+            if not unstable:
+                break
+            key = ("unst", ext, cleanup)
+            if key not in self._search_fn:
+                use_scoring = jnp.ones((1,), bool) if cleanup else None
+                self._search_fn[key] = jax.jit(
+                    lambda t: S.run_search(t, self.predictor,
+                                           self.search_cfg, ext, use_scoring))
+            trees = self._search_fn[key](trees)
+        return trees
+
     def _genmove(self, color: int, cleanup: bool) -> tuple[int, float]:
         t0 = _time.time()
         state = self.state.replace(to_move=jnp.int8(color))
@@ -96,15 +118,20 @@ class GtpEngine:
                                            self.search_cfg, sims, None))
             trees = self._continue_fn[sims](pondered)
         else:
-            key = (sims, cleanup)
+            # time-managed searches reserve head-room for UNST-N extensions
+            timed = self.time_settings.budget(color) != float("inf")
+            capacity = sims + 1 + (2 * max(16, int(0.75 * sims)) if timed
+                                   else 0)
+            key = (sims, cleanup, capacity)
             if key not in self._search_fn:
                 use_scoring = jnp.ones((1,), bool) if cleanup else None
                 self._search_fn[key] = jax.jit(
                     lambda st, r: S.search(st, self.predictor, r,
                                            self.search_cfg, sims,
-                                           use_scoring))
+                                           use_scoring, capacity=capacity))
             trees = self._search_fn[key](states, jax.random.PRNGKey(
                 int(_time.time() * 1e3) % (2**31)))
+        trees = self._maybe_extend(trees, color, sims, cleanup)
         move, value = jax.vmap(
             lambda t, r: S.best_move(t, r, self.search_cfg, jnp.float32(0.0))
         )(trees, jax.random.split(jax.random.PRNGKey(1), 1))

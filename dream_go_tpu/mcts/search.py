@@ -348,6 +348,24 @@ def search_done(tree: Tree, sims_remaining) -> jax.Array:
     return (best - jnp.maximum(second, 0)) > sims_remaining
 
 
+UNSTABLE_MARGIN = 0.005
+
+
+def search_unstable(tree: Tree) -> jax.Array:
+    """UNST-N instability test (`time_control/byo_yomi.rs:177-192`
+    ``is_stable``, negated): true when the most visited root child is not
+    the highest-value child and the value gap exceeds 0.005.  Time-managed
+    play extends the search while this holds."""
+    visits = root_visits(tree)
+    valid = visits > 0
+    qv = jnp.where(valid, root_q(tree), -jnp.inf)
+    top_visits = jnp.argmax(jnp.where(valid, visits, -1))
+    top_value = jnp.argmax(qv)
+    gap = qv[top_value] - qv[top_visits]
+    return ((top_visits != top_value) & (gap >= UNSTABLE_MARGIN)
+            & jnp.any(valid))
+
+
 def run_search_adaptive(trees: Tree, predictor: Predictor, cfg: SearchConfig,
                         num_sims: int, use_scoring: jax.Array | None = None,
                         check_every: int = 32,

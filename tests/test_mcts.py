@@ -189,3 +189,25 @@ class TestRolloutBudget:
         # budgets exhaust before the sim cap, so both paths see the same sims
         np.testing.assert_array_equal(np.asarray(plain.node_n[:, 0]),
                                       np.asarray(adapt.node_n[:, 0]))
+
+
+class TestUnstN:
+    def test_concentrated_search_is_stable(self):
+        point = coords.from_gtp("D4")
+        trees = run(P.fake_predictor(point, value=0.7), sims=24, batch=1)
+        assert not bool(np.asarray(jax.vmap(S.search_unstable)(trees))[0])
+
+    def test_value_visit_disagreement_is_unstable(self):
+        point = coords.from_gtp("D4")
+        trees = run(P.fake_predictor(point, value=0.7), sims=24, batch=1)
+        tree = jax.tree_util.tree_map(lambda x: x[0], trees)
+        # inflate the value of a lightly-visited child so the best-value
+        # child no longer matches the most-visited one
+        child = np.asarray(tree.children[0])
+        visits = np.asarray(S.root_visits(tree))
+        light = next(a for a in np.argsort(visits) if 0 < visits[a])
+        node = int(child[light])
+        # child mean is flipped at the root: small node mean = high root q
+        node_w = tree.node_w.at[node].set(0.0)
+        tree = tree.replace(node_w=node_w)
+        assert bool(np.asarray(S.search_unstable(tree)))
