@@ -77,7 +77,8 @@ class GtpEngine:
     # -- search --------------------------------------------------------------
 
     def _sims_for_budget(self, color: int) -> int:
-        budget = self.time_settings.budget(color)
+        budget = self.time_settings.budget(
+            color, int(np.asarray(self.state.move_count)))
         if budget == float("inf"):
             return self.num_rollout
         # assume ~2ms per simulation at batch 1 as a conservative floor
@@ -88,7 +89,8 @@ class GtpEngine:
         while time-managed, the most visited root child is not the best one,
         and fewer than two extensions have been taken, keep searching (the
         reference multiplies the period by 1.75; we add 0.75 * sims)."""
-        if self.time_settings.budget(color) == float("inf"):
+        if self.time_settings.budget(
+                color, int(np.asarray(self.state.move_count))) == float("inf"):
             return trees
         ext = max(16, int(0.75 * sims))
         for _ in range(2):
@@ -119,7 +121,9 @@ class GtpEngine:
             trees = self._continue_fn[sims](pondered)
         else:
             # time-managed searches reserve head-room for UNST-N extensions
-            timed = self.time_settings.budget(color) != float("inf")
+            timed = self.time_settings.budget(
+                color,
+                int(np.asarray(self.state.move_count))) != float("inf")
             capacity = sims + 1 + (2 * max(16, int(0.75 * sims)) if timed
                                    else 0)
             key = (sims, cleanup, capacity)
