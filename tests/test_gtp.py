@@ -139,3 +139,39 @@ class TestPonder:
         time.sleep(1.0)
         trees = svc.take(s0)
         assert trees is not None
+
+
+class TestRegretBudget:
+    """Regret-weighted budgets (`byo_yomi.rs:70-100,194-223`)."""
+
+    def test_budget_grows_with_move_number(self):
+        from dream_go_tpu.gtp.time_settings import TimeSettings
+        ts = TimeSettings()
+        ts.set_absolute(300.0)
+        budgets = [ts.budget(1, mv) for mv in (0, 100, 200, 246)]
+        assert budgets == sorted(budgets)
+        assert budgets[0] > 0
+
+    def test_endgame_fallback_and_periods(self):
+        from dream_go_tpu.gtp.time_settings import TimeSettings
+        ts = TimeSettings()
+        ts.set_byo_yomi(60.0, 10.0, 3)
+        # past the expected game end: 10% of main + one period
+        assert abs(ts.budget(1, 250) - (6.0 + 10.0)) < 1e-9
+        ts.remaining[1] = 0.0
+        assert ts.budget(1, 250) == 10.0
+        # canadian: period shared across stones
+        ts2 = TimeSettings()
+        ts2.set_canadian(0.0, 30.0, 10)
+        assert abs(ts2.budget(1, 250) - 3.0) < 1e-9
+
+    def test_whole_curve_spends_roughly_all_main_time(self):
+        from dream_go_tpu.gtp.time_settings import TimeSettings
+        ts = TimeSettings()
+        ts.set_absolute(100.0)
+        # simulate a 257-move game for one player, always spending the budget
+        remaining = 100.0
+        for mv in range(0, 257, 2):
+            ts.remaining[1] = remaining
+            remaining -= ts.budget(1, mv)
+        assert 0.0 <= remaining < 35.0  # spends most of it, never overdraws
