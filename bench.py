@@ -111,6 +111,66 @@ def main():
     except Exception as e:  # secondary metrics must not break the bench
         print(f"forward bench skipped: {e}", file=sys.stderr)
 
+    # --full: the reference's remaining --bench categories (`src/dg/bench/`):
+    # SGF parse/s, feature extraction/s, MCTS simulations/s
+    if "--full" in sys.argv:
+        try:
+            from dream_go_tpu.utils import sgf as sgf_mod
+            path = "/root/repo/tests/fixtures/sample_games.sgf"
+            with open(path) as fh:
+                lines = [l.strip() for l in fh if l.strip()]
+            reps = 200
+            t0 = time.time()
+            for _ in range(reps):
+                for l in lines:
+                    sgf_mod.parse_line(l)
+            pps = reps * len(lines) / (time.time() - t0)
+            print(f"sgf parse/s (host): {pps:,.0f}", file=sys.stderr)
+        except Exception as e:
+            print(f"sgf bench skipped: {e}", file=sys.stderr)
+
+        try:
+            from dream_go_tpu.go import features
+
+            fb = 1024 if on_tpu else 64
+            fstates = engine.new_states(fb)
+            feat = jax.jit(lambda s: features.extract_batch(
+                s, "v1", False, use_kernel=on_tpu))
+            float(np.asarray(jnp.sum(feat(fstates))))
+            t0 = time.time()
+            n = 8
+            for _ in range(n):
+                r = feat(fstates)
+            float(np.asarray(jnp.sum(r)))
+            print(f"feature extraction/s (batch {fb}): "
+                  f"{fb * n / (time.time() - t0):,.0f}", file=sys.stderr)
+        except Exception as e:
+            print(f"feature bench skipped: {e}", file=sys.stderr)
+
+        try:
+            from dream_go_tpu.config import ModelConfig, SearchConfig
+            from dream_go_tpu.mcts import search as S
+            from dream_go_tpu.mcts.predictor import net_predictor
+            from dream_go_tpu.models import tower as T
+
+            mb, sims = (256, 64) if on_tpu else (8, 8)
+            mcfg = ModelConfig(num_channels=64, num_blocks=6)
+            mp, mstats = T.init_tower(mcfg, jax.random.PRNGKey(0))
+            pred = net_predictor(mcfg, mp, mstats)
+            scfg = SearchConfig(feature_kernel=on_tpu)
+            mstates = engine.new_states(mb)
+            run = jax.jit(lambda st, r: S.search(st, pred, r, scfg, sims))
+            t = run(mstates, jax.random.PRNGKey(0))
+            int(np.asarray(jnp.sum(t.node_n)))
+            t0 = time.time()
+            t = run(mstates, jax.random.PRNGKey(1))
+            int(np.asarray(jnp.sum(t.node_n)))
+            sps = mb * sims / (time.time() - t0)
+            print(f"mcts simulations/s (6x64 net, batch {mb}, {sims} sims): "
+                  f"{sps:,.0f}", file=sys.stderr)
+        except Exception as e:
+            print(f"mcts bench skipped: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "env_steps_per_sec_per_chip",
         "value": round(steps_per_s, 1),
