@@ -175,3 +175,26 @@ class TestRegretBudget:
             ts.remaining[1] = remaining
             remaining -= ts.budget(1, mv)
         assert 0.0 <= remaining < 35.0  # spends most of it, never overdraws
+
+
+class TestTimedGenmove:
+    """Timed play reserves UNST-N head-room and may extend the search
+    (`gtp/engine.py::_maybe_extend`)."""
+
+    def test_timed_genmove_returns_vertex_and_extends_on_instability(self):
+        eng = GtpEngine(P.random_predictor(), num_rollout=24)
+        assert ask(eng, "time_settings 120 0 0") == "="
+        resp = ask(eng, "genmove b")
+        assert resp.startswith("= ")
+        # timed searches allocate extension head-room
+        assert any(isinstance(k, tuple) and len(k) == 3 and k[2] > 25
+                   for k in eng._search_fn)
+
+    def test_untimed_genmove_unchanged(self):
+        eng = GtpEngine(P.fake_predictor(coords.from_gtp("Q16")),
+                        num_rollout=8)
+        resp = ask(eng, "genmove b")
+        assert resp == "= Q16"
+        # no extension entries cached on the untimed path
+        assert not any(isinstance(k, tuple) and k and k[0] == "unst"
+                       for k in eng._search_fn)
