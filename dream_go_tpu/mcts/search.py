@@ -380,6 +380,10 @@ def run_search_adaptive(trees: Tree, predictor: Predictor, cfg: SearchConfig,
     """
     chunks = max(1, (num_sims + check_every - 1) // check_every)
     batch = trees.node_n.shape[0]
+    if budget is None and num_sims % check_every != 0:
+        # the final chunk would overshoot num_sims; the per-game budget
+        # machinery caps it exactly
+        budget = jnp.full((batch,), num_sims, jnp.int32)
     cap = jnp.int32(num_sims) if budget is None \
         else jnp.minimum(jnp.int32(num_sims), budget)
 

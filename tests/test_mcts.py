@@ -211,3 +211,12 @@ class TestUnstN:
         node_w = tree.node_w.at[node].set(0.0)
         tree = tree.replace(node_w=node_w)
         assert bool(np.asarray(S.search_unstable(tree)))
+
+    def test_adaptive_does_not_overshoot_num_sims(self):
+        states = engine.new_states(1)
+        pred = P.random_predictor()
+        cfg = CFG
+        trees = jax.jit(lambda st, rng: S.search(
+            st, pred, rng, cfg, 12, adaptive=True))(
+                states, jax.random.PRNGKey(0))
+        assert int(np.asarray(trees.node_n[0, 0])) <= 1 + 12
