@@ -47,6 +47,10 @@ def main(argv=None):
     mode.add_argument("--reanalyze", nargs="+", metavar="FILE",
                       help="re-annotate games from SGF files")
     mode.add_argument("--bench", action="store_true")
+    parser.add_argument("--cpu", action="store_true",
+                        help="bench: local CPU smoke instead of the TPU")
+    parser.add_argument("--full", action="store_true",
+                        help="bench: also report SGF/feature/MCTS rates")
     mode.add_argument("--gtp", action="store_true", default=False)
     mode.add_argument("--start", metavar="DATA", help="train from big SGF")
     mode.add_argument("--resume", metavar="CKPT", help="resume training")
