@@ -198,3 +198,39 @@ class TestTimedGenmove:
         # no extension entries cached on the untimed path
         assert not any(isinstance(k, tuple) and k and k[0] == "unst"
                        for k in eng._search_fn)
+
+
+class TestServingHygiene:
+    """A 20-move timed game must not mint new compiled programs per move
+    (VERDICT r1: serving-path recompiles)."""
+
+    def test_twenty_move_game_compiles_at_most_three_searches(self):
+        eng = GtpEngine(P.random_predictor(), num_rollout=64)
+        assert ask(eng, "kgs-time_settings byoyomi 60 10 1") == "="
+        # warmup: one genmove per color
+        ask(eng, "genmove b")
+        ask(eng, "genmove w")
+        warm_keys = set(eng._search_fn) | set(eng._continue_fn)
+        step_traces = eng._jit_step._cache_size()
+        for i in range(18):
+            color = "b" if i % 2 == 0 else "w"
+            # drift the clock so naive budget->sims mapping would vary
+            ask(eng, f"time_left {color} {50 - i} 0")
+            resp = ask(eng, f"genmove {color}")
+            assert resp.startswith("= ")
+        new_keys = (set(eng._search_fn) | set(eng._continue_fn)) - warm_keys
+        assert len(new_keys) <= 3, f"minted {len(new_keys)} programs: {new_keys}"
+        # board stepping is cached once, never retraced per command
+        assert eng._jit_step._cache_size() == step_traces
+
+    def test_measured_sim_rate_feeds_budget(self):
+        eng = GtpEngine(P.random_predictor(), num_rollout=512)
+        assert ask(eng, "kgs-time_settings byoyomi 30 5 1") == "="
+        ask(eng, "genmove b")
+        ask(eng, "genmove w")
+        ask(eng, "genmove b")
+        # after warmup the EWMA must have moved off the conservative default
+        assert eng._sims_per_sec != 500.0
+        # quantization: budget-derived sims land on a bucket
+        sims = eng._sims_for_budget(2)
+        assert sims in eng._SIM_BUCKETS or sims == eng.num_rollout
