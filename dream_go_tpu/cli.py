@@ -59,6 +59,11 @@ def main(argv=None):
                       help="dump weights JSON to stdout")
     mode.add_argument("--loop", type=int, metavar="GENS",
                       help="run the closed RL loop for N generations")
+    mode.add_argument("--print", dest="print_tensors", nargs="*",
+                      metavar="TENSOR",
+                      help="print tensor statistics (no names) or values "
+                           "(named tensors) of a model; parity with "
+                           "`dream_tf --print` (__main__.py:246-268)")
 
     parser.add_argument("--weights", help="dream_go.json weights file")
     parser.add_argument("--checkpoint", help="orbax checkpoint dir")
@@ -111,6 +116,10 @@ def _run(args):
     if args.bench:
         import bench
         bench.main()
+        return
+
+    if args.print_tensors is not None:
+        _print_tensors(args)
         return
 
     if args.start or args.resume or args.verify or args.dump:
@@ -185,6 +194,44 @@ def _rl_loop(args):
                      games_per_generation=args.num_games,
                      ex_it=args.ex_it, out_dir=args.out_dir,
                      seed=args.seed))
+
+
+def _print_tensors(args):
+    """`--print`: tensor statistics / values of a model.
+
+    Parity with `contrib/trainer/dream_tf/__main__.py:246-268`: without
+    tensor names, print a JSON map ``{name: {mean, std}}`` over every dumped
+    tensor; with names, print each tensor's values.  The model comes from
+    ``--weights`` (reference-format JSON) or ``--checkpoint`` (orbax).
+    """
+    import json
+
+    import numpy as np
+
+    from .models import params as MP
+
+    if args.weights:
+        with open(args.weights) as fh:
+            tensors = MP.decode_raw(fh.read())
+    elif args.checkpoint:
+        from .config import TrainConfig
+        from .train.train_loop import Trainer
+        trainer = Trainer.restore(args.checkpoint,
+                                  TrainConfig(batch_size=args.batch_size))
+        tensors = MP.decode_raw(MP.dump_json(
+            trainer.model_cfg, trainer.dump_params(),
+            trainer.state.batch_stats))
+    else:
+        raise SystemExit("--print needs --weights or --checkpoint")
+
+    if not args.print_tensors:
+        out = {name: {"mean": float(np.mean(v)), "std": float(np.std(v))}
+               for name, v in tensors.items()}
+        print(json.dumps(out, sort_keys=True, indent=4,
+                         separators=(",", ": ")))
+    else:
+        for name in args.print_tensors:
+            print(name, tensors[name].tolist())
 
 
 def _trainer_procedures(args):

@@ -141,6 +141,22 @@ def dump_json(cfg: ModelConfig, params, batch_stats) -> str:
     return json.dumps(out)
 
 
+def decode_entry(entry: dict) -> np.ndarray:
+    """Decode one ``{"s", "t", "v"}`` weights-JSON entry to float32 values.
+
+    Format parity with the reference loader (`loader.rs:36-116`): ``s`` is a
+    single b85-encoded f32 scale, ``t`` the payload dtype tag, ``v`` the
+    b85-encoded payload; float payloads are multiplied by the scale.
+    """
+    return _decode(entry)
+
+
+def decode_raw(text: str) -> dict:
+    """Decode EVERY tensor of a weights JSON into a name -> float32 array map
+    (no model reassembly); used by the ``--print`` trainer procedure."""
+    return {name: _decode(entry) for name, entry in json.loads(text).items()}
+
+
 def _decode(entry: dict) -> np.ndarray:
     dtype = {"f2": np.float16, "f4": np.float32,
              "i4": np.int32, "i1": np.int8}[entry["t"]]

@@ -28,3 +28,21 @@ def test_round_trip_i8_i32():
     assert np.array_equal(b85.decode_i8(b85.encode(x8)), x8)
     x32 = rng.integers(-(2**31), 2**31, size=64).astype(np.int32)
     assert np.array_equal(b85.decode_i32(b85.encode(x32)), x32)
+
+
+def test_decode_reference_loader_snippet():
+    """Interop: the exact weights-JSON snippet embedded in the reference
+    loader's own test (`src/libdg_nn/loader.rs:131-142`), which pins
+    scale == 0.13704996 and a 2-entry f16 payload."""
+    from dream_go_tpu.models import params as MP
+
+    snippet = ('{"11v_value/linear_2/offset:0": '
+               '{"s": "(^d>V", "t": "f2", "v": "(^d>V"}}')
+    tensors = MP.decode_raw(snippet)
+    assert list(tensors) == ["11v_value/linear_2/offset:0"]
+    scale = np.frombuffer(b85.decode("(^d>V").tobytes(), np.float32)[0]
+    assert scale == np.float32(0.13704996)
+    vals = tensors["11v_value/linear_2/offset:0"]
+    expected = np.frombuffer(b85.decode("(^d>V").tobytes(),
+                             np.float16).astype(np.float32) * scale
+    np.testing.assert_allclose(vals, expected)

@@ -34,3 +34,31 @@ def test_cli_self_play_emits_annotated_sgf():
 def _repo():
     import dream_go_tpu
     return next(iter(dream_go_tpu.__path__)).rsplit("/", 1)[0]
+
+
+def test_cli_print_tensor_statistics(tmp_path, capsys):
+    """`--print` parity (`dream_tf/__main__.py:246-268`): without names a
+    JSON {tensor: {mean, std}} map; with names the raw values."""
+    import json
+
+    import jax
+
+    from dream_go_tpu.cli import main
+    from dream_go_tpu.config import ModelConfig
+    from dream_go_tpu.models import params as MP
+    from dream_go_tpu.models import tower as T
+
+    cfg = ModelConfig(num_channels=8, num_blocks=1, num_samples=2)
+    params, stats = T.init_tower(cfg, jax.random.PRNGKey(0))
+    path = tmp_path / "w.json"
+    path.write_text(MP.dump_json(cfg, params, stats))
+
+    main(["--print", "--weights", str(path)])
+    out = json.loads(capsys.readouterr().out)
+    assert "01_upsample/conv_1:0" in out
+    for entry in out.values():
+        assert set(entry) == {"mean", "std"}
+
+    main(["--print", "num_channels:0", "--weights", str(path)])
+    text = capsys.readouterr().out
+    assert text.startswith("num_channels:0") and "8" in text
