@@ -48,7 +48,7 @@ def main(argv=None):
                       help="re-annotate games from SGF files")
     mode.add_argument("--bench", action="store_true")
     parser.add_argument("--cpu", action="store_true",
-                        help="bench: local CPU smoke instead of the TPU")
+                        help="run on local CPU instead of the TPU")
     parser.add_argument("--full", action="store_true",
                         help="bench: also report SGF/feature/MCTS rates")
     mode.add_argument("--gtp", action="store_true", default=False)
@@ -77,6 +77,10 @@ def main(argv=None):
                         help="append training metrics JSONL to FILE")
     parser.add_argument("--out-dir", default="models/rl",
                         help="output directory for --loop")
+    parser.add_argument("--mesh", action="store_true",
+                        help="--loop: shard actor+learner over all devices")
+    parser.add_argument("--mesh-model", type=int, default=1,
+                        help="tensor-parallel width for head kernels")
     parser.add_argument("--ex-it", action="store_true")
     parser.add_argument("--num-rollout", type=int, default=1600)
     parser.add_argument("--num-games", type=int, default=128)
@@ -89,6 +93,12 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--steps", type=int, default=1000)
     args = parser.parse_args(argv)
+
+    if args.cpu:
+        # hermetic local run for any mode; must precede first backend use
+        # (the env var is consumed at interpreter startup, too late here)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     from .config import SearchConfig, SelfPlayConfig
 
@@ -193,7 +203,8 @@ def _rl_loop(args):
         RLLoopConfig(generations=args.loop,
                      games_per_generation=args.num_games,
                      ex_it=args.ex_it, out_dir=args.out_dir,
-                     seed=args.seed))
+                     seed=args.seed, use_mesh=args.mesh,
+                     mesh_model=args.mesh_model))
 
 
 def _print_tensors(args):

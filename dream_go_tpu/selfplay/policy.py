@@ -98,13 +98,21 @@ def _final_territory(states: engine.GoState):
 
 
 def policy_self_play(player: PolicyPlayer, cfg: SelfPlayConfig,
-                     seed: int = 0) -> list[str]:
-    """Play ``cfg.num_games`` games to completion; returns SGF lines."""
+                     seed: int = 0, sharding=None) -> list[str]:
+    """Play ``cfg.num_games`` games to completion; returns SGF lines.
+
+    ``sharding`` (an optional ``NamedSharding`` over the batch axis) shards
+    the game batch across the mesh's data axis; the jitted move function then
+    runs data-parallel with XLA-inserted collectives (SURVEY §2.11 P2/P4).
+    """
     states = engine.new_states(cfg.num_games, komi=cfg.komi,
                                history_len=cfg.history_len)
     if cfg.random_komi:
         states = states.replace(komi=jnp.asarray(
             random_komi(cfg.num_games, seed), jnp.float32))
+    if sharding is not None:
+        states = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), states)
     move_fn = _build_move_fn(player)
     key = jax.random.PRNGKey(seed)
 

@@ -86,8 +86,12 @@ def _build_search_move_fn(predictor: Predictor, search_cfg: SearchConfig,
 def search_self_play(predictor: Predictor, cfg: SelfPlayConfig,
                      search_cfg: SearchConfig | None = None,
                      seed: int = 0, sym_average: bool = False,
-                     tree_reuse: bool = True) -> list[str]:
-    """Play ``cfg.num_games`` MCTS games to completion; returns SGF lines."""
+                     tree_reuse: bool = True, sharding=None) -> list[str]:
+    """Play ``cfg.num_games`` MCTS games to completion; returns SGF lines.
+
+    ``sharding`` (optional ``NamedSharding`` over the batch axis) runs the
+    search data-parallel across the mesh (SURVEY §2.11 P2/P4).
+    """
     search_cfg = search_cfg or SearchConfig()
     if sym_average:
         predictor = symmetrize(predictor)
@@ -96,6 +100,9 @@ def search_self_play(predictor: Predictor, cfg: SelfPlayConfig,
     if cfg.random_komi:
         states = states.replace(komi=jnp.asarray(
             random_komi(cfg.num_games, seed), jnp.float32))
+    if sharding is not None:
+        states = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), states)
     first_fn, reuse_fn = _build_search_move_fn(
         predictor, search_cfg, cfg.num_rollout, cfg.temperature_moves,
         tree_reuse=tree_reuse)

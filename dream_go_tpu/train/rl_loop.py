@@ -56,13 +56,40 @@ class RLLoopConfig:
     ex_it: bool = True
     out_dir: str | None = None
     seed: int = 0
+    use_mesh: bool = False              # shard actor+learner over all devices
+    mesh_model: int = 1                 # tensor-parallel width for head kernels
 
 
 def run_rl_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
                 selfplay_cfg: SelfPlayConfig, search_cfg: SearchConfig,
                 loop_cfg: RLLoopConfig, log_fn=None) -> Trainer:
+    """The product RL loop; with ``use_mesh`` both phases run on a device
+    mesh: the actor's game batch is sharded over ``data`` and the learner is
+    data-parallel (tensor-parallel head kernels over ``model``)."""
+    import contextlib
+
     log = log_fn or (lambda msg: print(msg, file=sys.stderr, flush=True))
     trainer = Trainer.create(model_cfg, train_cfg, seed=loop_cfg.seed)
+
+    mesh_ctx: contextlib.AbstractContextManager = contextlib.nullcontext()
+    actor_sharding = None
+    if loop_cfg.use_mesh:
+        from ..parallel import mesh as M
+        mesh = M.make_mesh(model=loop_cfg.mesh_model)
+        log(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+        trainer.shard_over(mesh)
+        actor_sharding = M.shard_batch(mesh)
+        mesh_ctx = mesh
+
+    with mesh_ctx:
+        return _run_generations(trainer, model_cfg, train_cfg, selfplay_cfg,
+                                search_cfg, loop_cfg, actor_sharding, log)
+
+
+def _run_generations(trainer: Trainer, model_cfg: ModelConfig,
+                     train_cfg: TrainConfig, selfplay_cfg: SelfPlayConfig,
+                     search_cfg: SearchConfig, loop_cfg: RLLoopConfig,
+                     actor_sharding, log) -> Trainer:
     replay: collections.deque[str] = collections.deque(
         maxlen=loop_cfg.replay_window_games)
 
@@ -75,13 +102,15 @@ def run_rl_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
         if loop_cfg.use_search:
             from ..selfplay.search_play import search_self_play
             games = search_self_play(predictor, sp_cfg, search_cfg,
-                                     seed=loop_cfg.seed + gen)
+                                     seed=loop_cfg.seed + gen,
+                                     sharding=actor_sharding)
         else:
             from ..selfplay.policy import PolicyPlayer, policy_self_play
             games = policy_self_play(
                 PolicyPlayer(predictor,
                              ladder_features=sp_cfg.ladder_features),
-                sp_cfg, seed=loop_cfg.seed + gen)
+                sp_cfg, seed=loop_cfg.seed + gen,
+                sharding=actor_sharding)
             if loop_cfg.ex_it:
                 from ..selfplay.reanalyze import ex_it as run_ex_it
                 games = run_ex_it(games, predictor, search_cfg,
