@@ -1,33 +1,37 @@
 """Ladder reading (capture / escape feature planes).
 
 Replaces `src/libdg_go/utils/ladder.rs:20-150`.  The reference reads ladders
-recursively with board cloning; under jit we run a bounded iterative chase on
-hash-free scratch boards, vectorized over a compacted candidate set:
+recursively with board cloning; under jit we run the SAME branching search as
+an explicit-stack DFS inside a bounded ``lax.while_loop``, vectorized over a
+compacted candidate set:
 
 - only points that could start a ladder are evaluated — capture candidates
   touch an opponent chain with exactly two liberties, escape candidates touch
   an own chain in atari — gathered into ``max_candidates`` lanes per board
   (the rare overflow beyond that leaves the extra points unread, a documented
   bound; the reference evaluates all 361 but exits just as fast).
-- at the branch point (the chased chain keeps two liberties) the reference
-  recurses into *both* liberties (`ladder.rs:110-119`); we chase the liberty
-  whose one-move lookahead (attacker plays, defender extends) leaves the
-  defender with the fewest liberties, which resolves the textbook zigzag
-  exactly and bounds the search to a single line.  Side conditions match the
-  reference: counter-capture escape (`_can_escape_with_capture`),
-  immediate capture / three-liberty escape, and the attacker-self-atari
-  rejection.
+- each rung plays the attacker move, extends the first qualifying chased
+  chain (opponent chain in atari that cannot counter-capture and whose lone
+  liberty is playable — `ladder.rs:60-80`), then classifies: one liberty =
+  captured, three+ liberties or attacker self-atari = this line fails
+  (`ladder.rs:88-106`).
+- at a branch point (the chased chain keeps two liberties) the reference
+  recurses into *both* playable neighbors of the extension point
+  (`ladder.rs:110-119`).  We continue down the first and push the second onto
+  a ``STACK_CAP``-deep board stack; when a line fails we pop and resume.
+  ``any``-capture semantics over the whole branch tree, exactly like the
+  recursion; the stack bound and total step budget are the only
+  approximations (overflow resolves to "no capture", as does the reference's
+  own practical recursion limit).
 """
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from .engine import (
-    BLACK,
     EMPTY,
     OFFBOARD,
     GoState,
@@ -38,157 +42,183 @@ from .engine import (
 )
 from .topology import IOTA, NBR, NN
 
-MAX_DEPTH = 64
+#: not-taken branches kept for backtracking; fail-fast exploration order
+#: (see `_chase_step`) keeps real ladders at depth 1-2.
+STACK_CAP = 8
+#: total rungs across all explored lines (the oracle caps recursion at 80);
+#: a corner-to-corner zigzag costs ~2 rungs per step, ~40 total.
+BUDGET = 160
 
 
-def _chain_mask(chain_id, cid):
-    return chain_id == cid
+def _board_stats(stones, chain_id, atk_color):
+    """One dense pass over the board shared by every per-rung predicate.
 
-
-def _liberty_info(stones, chain_id, cid):
-    """(count, first, second) liberties of chain ``cid``."""
+    Returns ``(libs_cnt[362], first_lib[362], counter[362], point_libs[361])``
+    indexed by chain id: liberty count, smallest liberty point (NN if none),
+    whether the chain touches an ``atk_color`` chain in atari (the
+    counter-capture escape of `ladder.rs:34-42`), and per-point liberty
+    counts.  Same no-scatter [point x chain] formulation as
+    `engine.chain_liberties`.
+    """
     empty = stones == EMPTY
-    nbr_cid = _pad(chain_id, -1)[NBR]                    # [361, 4]
-    nbr_st = _pad(stones, jnp.int8(OFFBOARD))[NBR]
-    adj = jnp.any((nbr_cid == cid) & (nbr_st != EMPTY) & (nbr_st != OFFBOARD),
-                  axis=1)
-    libs = empty & adj
-    count = jnp.sum(libs)
-    first = jnp.argmax(libs)
-    libs2 = libs & (IOTA != first)
-    second = jnp.argmax(libs2)
-    first = jnp.where(count >= 1, first, NN)
-    second = jnp.where(count >= 2, second, NN)
-    return count, first.astype(jnp.int32), second.astype(jnp.int32)
+    member = (chain_id[:, None] == IOTA[None, :]) \
+        & (stones != EMPTY)[:, None]                       # [q, c]
+    member_p = jnp.concatenate([member, jnp.zeros((1, NN), bool)])
+    adj = member_p[NBR[:, 0]] | member_p[NBR[:, 1]] \
+        | member_p[NBR[:, 2]] | member_p[NBR[:, 3]]
+    adj = adj & empty[:, None]                             # [e, c]
+    libs_cnt = jnp.concatenate(
+        [jnp.sum(adj, axis=0, dtype=jnp.int32), jnp.zeros(1, jnp.int32)])
+    first_lib = jnp.concatenate(
+        [jnp.min(jnp.where(adj, IOTA[:, None], NN), axis=0),
+         jnp.full(1, NN, jnp.int32)])
+    point_libs = jnp.where(
+        stones != EMPTY, libs_cnt[jnp.clip(chain_id, 0, NN)], 0)
+
+    atk = jnp.asarray(atk_color).astype(stones.dtype)
+    atari_atk = (stones == atk) & (point_libs == 1)
+    touch = jnp.any(_pad(atari_atk, False)[NBR], axis=1)   # [q]
+    counter = jnp.concatenate(
+        [jnp.any(member & touch[:, None], axis=0), jnp.zeros(1, bool)])
+    return libs_cnt, first_lib, counter, point_libs
 
 
-def _atari_neighbor_chain(stones, chain_id, p, color_of_chain):
-    """First distinct chain of ``color_of_chain`` adjacent to p with 1 lib."""
-    _, chain_libs = chain_liberties(stones, chain_id)
-    nbr_p = jnp.asarray(NBR)[p]
-    nbr_st = _pad(stones, jnp.int8(OFFBOARD))[nbr_p]
-    nbr_cid = _pad(chain_id, -1)[nbr_p]
-    nbr_libs = chain_libs[jnp.clip(nbr_cid, 0, NN)]
-    hit = (nbr_st == color_of_chain) & (nbr_libs == 1)
-    any_hit = jnp.any(hit)
-    cid = jnp.where(any_hit, nbr_cid[jnp.argmax(hit)], -1)
-    return cid
-
-
-def _can_counter_capture(stones, chain_id, color, cid):
-    """`ladder.rs:34-42`: can the (opponent-colored) chain ``cid`` capture any
-    adjacent ``color`` chain in atari?"""
-    _, chain_libs = chain_liberties(stones, chain_id)
-    member = _chain_mask(chain_id, cid) & (stones != EMPTY)
-    nbr_st = _pad(stones, jnp.int8(OFFBOARD))[NBR]       # [361, 4]
-    nbr_cid = _pad(chain_id, -1)[NBR]
-    nbr_libs = chain_libs[jnp.clip(nbr_cid, 0, NN)]
-    color = jnp.asarray(color).astype(stones.dtype)
-    target = (nbr_st == color) & (nbr_libs == 1)         # [361, 4]
-    return jnp.any(member[:, None] & target)
-
-
-def _pseudo_legal_point(stones, chain_id, color, p):
-    """is_valid for a single point on raw arrays (board_fast.rs:216-243)."""
-    _, chain_libs = chain_liberties(stones, chain_id)
+def _valid_at(stones, point_libs, color, p):
+    """`_l_valid` / `board_fast.rs:216-243` on precomputed liberty counts."""
     color = jnp.asarray(color).astype(stones.dtype)
     opp = (OFFBOARD - color).astype(stones.dtype)
     nbr_p = jnp.asarray(NBR)[p]
-    nbr_st = _pad(stones, jnp.int8(OFFBOARD))[nbr_p]
-    nbr_cid = _pad(chain_id, -1)[nbr_p]
-    nbr_libs = chain_libs[jnp.clip(nbr_cid, 0, NN)]
-    ok = (jnp.any(nbr_st == EMPTY)
-          | jnp.any((nbr_st == color) & (nbr_libs >= 2))
-          | jnp.any((nbr_st == opp) & (nbr_libs == 1)))
+    st = _pad(stones, jnp.int8(OFFBOARD))[nbr_p]
+    pl = _pad(point_libs, 0)[nbr_p]
+    ok = (jnp.any(st == EMPTY)
+          | jnp.any((st == color) & (pl >= 2))
+          | jnp.any((st == opp) & (pl == 1)))
     return (stones[p] == EMPTY) & ok
 
 
 def _chase_step(stones, chain_id, color, attack_p):
-    """One rung of the ladder: attacker plays, defender extends.
+    """One rung: attacker plays ``attack_p``, the chased chain extends.
 
-    Returns (stones, chain_id, defender_cid, defender_libs, status) where
-    status: 0 = continue, 1 = captured, 2 = escaped/invalid.
+    Returns ``(stones2, chain_id2, status, c1, c2)`` — the post-extension
+    board, status 0 = branch (continue), 1 = captured, 2 = line fails, and
+    the two candidate continuation attacks (NN = none), which are the
+    playable neighbors of the extension point in reference neighbor order
+    (`ladder.rs:110-119`).
     """
-    opp = (OFFBOARD - jnp.asarray(color)).astype(stones.dtype)
-    stones, chain_id = place_stones(stones, chain_id, color, attack_p)
+    color = jnp.asarray(color).astype(stones.dtype)
+    opp = (OFFBOARD - color).astype(stones.dtype)
+    st1, cid1 = place_stones(stones, chain_id, color, attack_p)
+    libs_cnt, first_lib, counter, point_libs = _board_stats(st1, cid1, color)
 
-    # the chased chain: adjacent to attack_p, opponent color, now in atari
-    cid = _atari_neighbor_chain(stones, chain_id, attack_p, opp)
-    counter = _can_counter_capture(stones, chain_id, color, jnp.maximum(cid, 0))
-    _, lone, _ = _liberty_info(stones, chain_id, jnp.maximum(cid, 0))
-    ext_ok = (cid >= 0) & ~counter & (lone < NN) \
-        & _pseudo_legal_point(stones, chain_id, opp, jnp.minimum(lone, NN - 1))
+    # first adjacent opponent chain in atari that cannot counter-capture and
+    # whose lone liberty is playable for the defender (`ladder.rs:60-80`)
+    st1p = _pad(st1, jnp.int8(OFFBOARD))
+    cid1p = _pad(cid1, -1)
+    found = jnp.bool_(False)
+    ext = jnp.int32(NN)
+    for k in range(4):
+        q = jnp.asarray(NBR)[attack_p, k]
+        cid = jnp.clip(cid1p[q], 0, NN)
+        lib = first_lib[cid]
+        ok = ((st1p[q] == opp) & (libs_cnt[cid] == 1) & ~counter[cid]
+              & (lib < NN)
+              & _valid_at(st1, point_libs, opp, jnp.minimum(lib, NN - 1)))
+        ext = jnp.where(ok & ~found, lib, ext)
+        found = found | ok
 
-    # defender extends into the lone liberty
-    ext = jnp.minimum(lone, NN - 1)
-    stones2, chain_id2 = place_stones(stones, chain_id, opp, ext)
-    def_cid = chain_id2[ext]
-    count, _, _ = _liberty_info(stones2, chain_id2, def_cid)
+    ext_c = jnp.minimum(ext, NN - 1)
+    st2, cid2 = place_stones(st1, cid1, opp, ext_c)
+    libs_cnt2, _, _, point_libs2 = _board_stats(st2, cid2, color)
+    def_libs = libs_cnt2[jnp.clip(cid2[ext_c], 0, NN)]
 
-    # attacker self-atari after the extension => escaped (`ladder.rs:97-106`)
-    _, chain_libs2 = chain_liberties(stones2, chain_id2)
-    nbr_ext = jnp.asarray(NBR)[ext]
-    nbr_st = _pad(stones2, jnp.int8(OFFBOARD))[nbr_ext]
-    nbr_cid = _pad(chain_id2, -1)[nbr_ext]
-    nbr_libs = chain_libs2[jnp.clip(nbr_cid, 0, NN)]
-    color_c = jnp.asarray(color).astype(stones.dtype)
-    self_atari = jnp.any((nbr_st == color_c) & (nbr_libs == 1))
+    # extension puts an attacker chain in atari => escaped (`ladder.rs:97-106`)
+    nbr_e = jnp.asarray(NBR)[ext_c]
+    st2p = _pad(st2, jnp.int8(OFFBOARD))[nbr_e]
+    pl2p = _pad(point_libs2, 0)[nbr_e]
+    self_atari = jnp.any((st2p == color) & (pl2p == 1))
 
     status = jnp.where(
-        ~ext_ok, 2,
-        jnp.where(count == 1, 1,
-                  jnp.where((count >= 3) | self_atari, 2, 0)))
-    stones_out = jnp.where(ext_ok, stones2, stones)
-    cid_out = jnp.where(ext_ok, chain_id2, chain_id)
-    return stones_out, cid_out, def_cid, status
+        ~found, 2,
+        jnp.where(def_libs <= 1, 1,
+                  jnp.where((def_libs >= 3) | self_atari, 2, 0)))
 
+    # branch candidates: playable neighbors of the extension, in order
+    c1 = jnp.int32(NN)
+    c2 = jnp.int32(NN)
+    for k in range(4):
+        q = nbr_e[k]
+        v = (q < NN) & _valid_at(st2, point_libs2, color,
+                                 jnp.minimum(q, NN - 1))
+        take1 = v & (c1 == NN)
+        take2 = v & ~take1 & (c2 == NN)
+        c1 = jnp.where(take1, q, c1)
+        c2 = jnp.where(take2, q, c2)
 
-def _next_attack(stones, chain_id, color, def_cid):
-    """Pick the chasing liberty by one-move lookahead (see module doc)."""
-    _, l1, l2 = _liberty_info(stones, chain_id, def_cid)
-    opp = (OFFBOARD - jnp.asarray(color)).astype(stones.dtype)
+    # exploration order ("any" semantics make it correctness-free): explore
+    # the branch that lets the defender breathe FIRST — it dies in one rung —
+    # and stack the tight chase.  Keeps the DFS stack O(1) deep on zigzag
+    # ladders instead of one pushed side-branch per rung.  The chased chain's
+    # two liberties are exactly {c1, c2}, so attacking ci forces the defender
+    # into the other; its liberties then are the empty neighbors of that
+    # point minus the attack stone (capture gains ignored — order heuristic
+    # only).
+    def after_libs(attack, extend):
+        nbrs = jnp.asarray(NBR)[jnp.minimum(extend, NN - 1)]
+        st_n = _pad(st2, jnp.int8(OFFBOARD))[nbrs]
+        return jnp.sum((st_n == EMPTY) & (nbrs != attack))
 
-    def score(lp):
-        valid = (lp < NN) & _pseudo_legal_point(
-            stones, chain_id, color, jnp.minimum(lp, NN - 1))
-        p = jnp.minimum(lp, NN - 1)
-        s2, c2 = place_stones(stones, chain_id, color, p)
-        cid = _atari_neighbor_chain(s2, c2, p, opp)
-        _, lone, _ = _liberty_info(s2, c2, jnp.maximum(cid, 0))
-        ext = jnp.minimum(lone, NN - 1)
-        # a branch where the defender has no legal extension returns False in
-        # the reference (`ladder.rs:60-80` filter) — never chase into it
-        ext_ok = (cid >= 0) & (lone < NN) & _pseudo_legal_point(s2, c2, opp,
-                                                               ext)
-        s3, c3 = place_stones(s2, c2, opp, ext)
-        cnt, _, _ = _liberty_info(s3, c3, c3[ext])
-        return jnp.where(valid & ext_ok, cnt, 99)
-
-    s1, s2 = score(l1), score(l2)
-    best = jnp.where(s1 <= s2, l1, l2)
-    feasible = jnp.minimum(s1, s2) < 99
-    return jnp.where(feasible, best, NN).astype(jnp.int32)
+    both = (c1 < NN) & (c2 < NN)
+    swap = both & (after_libs(c2, c1) > after_libs(c1, c2))
+    c1s = jnp.where(swap, c2, c1)
+    c2s = jnp.where(swap, c1, c2)
+    return st2, cid2, status, c1s, c2s
 
 
 def is_ladder_capture(stones, chain_id, color, p) -> jax.Array:
-    """bool: playing ``color`` at ``p`` starts a winning ladder chase."""
+    """bool: playing ``color`` at ``p`` starts a winning ladder chase.
 
-    def cond(carry):
-        _, _, attack, status, depth = carry
-        return (status == 0) & (attack < NN) & (depth < MAX_DEPTH)
+    Explicit-stack DFS over the reference's branch recursion
+    (`ladder.rs:53-119`): continue down the first branch, stack the second,
+    pop on a failed line; captured anywhere => True.
+    """
 
-    def body(carry):
-        st, cid, attack, _, depth = carry
-        st, cid, def_cid, status = _chase_step(st, cid, color, attack)
-        attack = jnp.where(status == 0,
-                           _next_attack(st, cid, color, def_cid),
-                           jnp.int32(NN))
-        status = jnp.where((status == 0) & (attack >= NN), 2, status)
-        return st, cid, attack, status, depth + 1
+    def cond(c):
+        st, cid, attack, status, depth, sst, scid, sat, sp = c
+        return (status == 0) & (depth < BUDGET)
+
+    def body(c):
+        st, cid, attack, status, depth, sst, scid, sat, sp = c
+        st2, cid2, s, c1, c2 = _chase_step(st, cid, color, attack)
+        cont = (s == 0) & (c1 < NN)
+        fail = (s == 2) | ((s == 0) & (c1 >= NN))
+
+        push = cont & (c2 < NN) & (sp < STACK_CAP)
+        spc = jnp.clip(sp, 0, STACK_CAP - 1)
+        sst = jnp.where(push, lax.dynamic_update_index_in_dim(
+            sst, st2, spc, 0), sst)
+        scid = jnp.where(push, lax.dynamic_update_index_in_dim(
+            scid, cid2, spc, 0), scid)
+        sat = jnp.where(push, lax.dynamic_update_index_in_dim(
+            sat, c2, spc, 0), sat)
+        sp = sp + push
+
+        pop = fail & (sp > 0)
+        spm = jnp.clip(sp - 1, 0, STACK_CAP - 1)
+        st_n = jnp.where(cont, st2, jnp.where(pop, sst[spm], st2))
+        cid_n = jnp.where(cont, cid2, jnp.where(pop, scid[spm], cid2))
+        attack_n = jnp.where(cont, c1, jnp.where(pop, sat[spm], NN))
+        sp = jnp.where(pop, sp - 1, sp)
+        status_n = jnp.where(s == 1, 1, jnp.where(cont | pop, 0, 2))
+        return (st_n, cid_n, attack_n, status_n, depth + 1, sst, scid, sat,
+                sp)
 
     init = (stones, chain_id, jnp.asarray(p, jnp.int32), jnp.int32(0),
+            jnp.int32(0),
+            jnp.zeros((STACK_CAP, NN), stones.dtype),
+            jnp.zeros((STACK_CAP, NN), chain_id.dtype),
+            jnp.full((STACK_CAP,), NN, jnp.int32),
             jnp.int32(0))
-    *_, status, _ = jax.lax.while_loop(cond, body, init)
+    status = lax.while_loop(cond, body, init)[3]
     return status == 1
 
 
@@ -207,7 +237,8 @@ def is_ladder_escape(stones, chain_id, color, p) -> jax.Array:
     connected = jnp.any((nbr_st == color_c) & (nbr_libs == 1))
 
     st2, cid2 = place_stones(stones, chain_id, color, p)
-    cnt, _, _ = _liberty_info(st2, cid2, cid2[p])
+    libs_cnt2, _, _, point_libs2 = _board_stats(st2, cid2, color)
+    cnt = libs_cnt2[jnp.clip(cid2[p], 0, NN)]
     feasible = connected & (cnt == 2)
 
     # the opponent must fail to ladder-capture from every adjacent point
@@ -215,14 +246,14 @@ def is_ladder_escape(stones, chain_id, color, p) -> jax.Array:
         q = jnp.asarray(NBR)[p][k]
         ok = q < NN
         q = jnp.minimum(q, NN - 1)
-        playable = ok & _pseudo_legal_point(st2, cid2, opp, q)
-        captured = jax.lax.cond(
+        playable = ok & _valid_at(st2, point_libs2, opp, q)
+        captured = lax.cond(
             playable,
             lambda: is_ladder_capture(st2, cid2, opp, q),
             lambda: jnp.bool_(False))
         return safe & ~captured
 
-    safe = jax.lax.fori_loop(0, 4, check, jnp.bool_(True))
+    safe = lax.fori_loop(0, 4, check, jnp.bool_(True))
     return feasible & safe
 
 
@@ -251,11 +282,11 @@ def ladder_planes(state: GoState, max_candidates: int = 24):
     def eval_slot(q):
         valid = q < NN
         qc = jnp.minimum(q, NN - 1)
-        cap = jax.lax.cond(
+        cap = lax.cond(
             valid & cap_cand[qc],
             lambda: is_ladder_capture(stones, chain_id, color, qc),
             lambda: jnp.bool_(False))
-        esc = jax.lax.cond(
+        esc = lax.cond(
             valid & esc_cand[qc],
             lambda: is_ladder_escape(stones, chain_id, color, qc),
             lambda: jnp.bool_(False))

@@ -116,6 +116,9 @@ class TestPlanes:
 
     @pytest.mark.parametrize("seed", [0, 1])
     def test_random_positions_differential(self, seed):
+        # EXACT agreement with the branching recursive oracle — the DFS
+        # explores the same branch tree (`ladder.rs:110-119`), so any
+        # disagreement is a bug, not an approximation.
         rng = np.random.default_rng(seed)
         s = engine.new_state()
         b = PyBoard()
@@ -127,26 +130,24 @@ class TestPlanes:
             b.play(mv)
             s = jit_step(s, jnp.int32(mv))
         s = s.replace(to_move=jnp.int8(b.to_move))
-        cap, esc = ladder.ladder_planes(s)
-        cap = np.asarray(cap)
+        cap, esc = jax.jit(lambda st: ladder.ladder_planes(st, 361))(s)
+        cap, esc = np.asarray(cap), np.asarray(esc)
         color = b.to_move
-        agree = disagree = 0
-        for p in np.flatnonzero(cap | ~cap):  # all points
+        checked = 0
+        for p in range(361):
             if not b.is_pseudo_legal(color, p):
                 continue
-            adj_opp2 = any(
-                b.stones[q] == (3 - color) and b.num_liberties(q) == 2
-                for q in _nbrs(p))
-            if not adj_opp2:
-                continue
-            want = b.is_ladder_capture(color, p)
-            if bool(cap[p]) == want:
-                agree += 1
-            else:
-                disagree += 1
-        # greedy single-line chase may deviate from the branching oracle in
-        # contrived positions; random boards should agree almost always
-        assert disagree <= max(1, agree // 10), (agree, disagree)
+            if any(b.stones[q] == (3 - color) and b.num_liberties(q) == 2
+                   for q in _nbrs(p)):
+                assert bool(cap[p]) == b.is_ladder_capture(color, p), \
+                    ("capture", coords.to_gtp(p))
+                checked += 1
+            if any(b.stones[q] == color and b.num_liberties(q) == 1
+                   for q in _nbrs(p)):
+                assert bool(esc[p]) == b.is_ladder_escape(color, p), \
+                    ("escape", coords.to_gtp(p))
+                checked += 1
+        assert checked > 0
 
 
 def _nbrs(p):

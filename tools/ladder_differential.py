@@ -1,10 +1,11 @@
 #!/usr/bin/env python3
-"""Measure greedy-chase vs recursive-oracle ladder disagreement at scale.
+"""Measure DFS-reader vs recursive-oracle ladder disagreement at scale.
 
-The engine's ladder reader (`go/ladder.py`) chases a single greedy line with
-one-move lookahead at branch points, while the reference recurses into every
-valid continuation (`/root/reference/src/libdg_go/utils/ladder.rs:110-119`).
-This tool quantifies the disagreement over tens of thousands of candidate
+The engine's ladder reader (`go/ladder.py`) runs the reference's branching
+recursion (`/root/reference/src/libdg_go/utils/ladder.rs:110-119`) as an
+explicit-stack DFS with bounded stack depth and step budget; agreement with
+the unbounded recursive oracle should be exact on anything but pathological
+branch trees.  This tool quantifies it over tens of thousands of candidate
 points drawn from random whole-board and crowded sub-board games, the same
 distribution the engine sees in self-play.
 
