@@ -62,6 +62,12 @@ class Tree(struct.PyTreeNode):
     node_w: jax.Array        # f32[N] value sum (node-to-move perspective)
     node_m2: jax.Array       # f32[N] Welford sum of squared deviations
     value0: jax.Array        # f32[N] net value at node (initial_value)
+    edge_n: jax.Array        # i32[N, 362] per-edge visits (SoA like
+    edge_w: jax.Array        # f32[N, 362] BigChildrenImpl, tree.rs:547-568):
+    #                          edge_w/edge_n is the edge Q in the PARENT's
+    #                          perspective, so select touches only rows of
+    #                          the current node — no [B,A]-indexed gathers
+    #                          from [B,N] child stats on the hot path
     size: jax.Array          # i32 allocated nodes
 
 
@@ -91,6 +97,8 @@ def init_tree(state: GoState, value: jax.Array, policy: jax.Array,
         node_w=jnp.zeros((n,)).at[0].set(_sane_value(value)),
         node_m2=jnp.zeros((n,)),
         value0=jnp.zeros((n,)).at[0].set(_sane_value(value)),
+        edge_n=jnp.zeros((n, A), jnp.int32),
+        edge_w=jnp.zeros((n, A)),
         size=jnp.int32(1),
     )
     return tree
@@ -127,17 +135,17 @@ def _select(tree: Tree, cfg: SearchConfig):
     """Walk root->leaf by PUCT; returns (leaf_node, action)."""
 
     def puct(node):
-        child = tree.children[node]                       # [A]
-        child_n = jnp.where(child >= 0, tree.node_n[jnp.maximum(child, 0)], 0)
-        child_mean = _node_mean(tree, jnp.maximum(child, 0))
-        q_visited = 1.0 - child_mean                      # flip perspective
+        # row reads only: per-edge stats replace child gathers (SoA edges,
+        # tree.rs:547-568); edge_n > 0 iff the child node exists
+        edge_n = tree.edge_n[node]                        # [A]
+        q_visited = tree.edge_w[node] / jnp.maximum(edge_n, 1)
         n_tot = tree.node_n[node].astype(jnp.float32)
         fpu = jnp.where(node == 0, tree.value0[node],
                         jnp.maximum(tree.value0[node]
                                     - cfg.fpu_reduce.at(n_tot), 0.0))
-        q = jnp.where(child >= 0, q_visited, fpu)
+        q = jnp.where(edge_n > 0, q_visited, fpu)
         bonus = cfg.uct_exp.at(n_tot) * jnp.sqrt(1.0 + n_tot) \
-            / (1.0 + child_n.astype(jnp.float32))
+            / (1.0 + edge_n.astype(jnp.float32))
         score = q + tree.prior[node] * bonus
         score = jnp.where(tree.candidate[node] & jnp.isfinite(score),
                           score, -jnp.inf)
@@ -218,7 +226,9 @@ def _insert_backup(tree: Tree, node, action, leaf_state: GoState,
         value0=set_row(tree.value0, value),
     )
 
-    # backup from leaf to root with perspective flips (tree.rs:125-159)
+    # backup from leaf to root with perspective flips (tree.rs:125-159);
+    # per-edge stats accumulate 1 - x_child = the value in the PARENT's
+    # perspective, so edge_w/edge_n reproduces select's old q_visited
     leaf_to_move = leaf_state.to_move
 
     def cond(carry):
@@ -226,7 +236,7 @@ def _insert_backup(tree: Tree, node, action, leaf_state: GoState,
         return n >= 0
 
     def body(carry):
-        n, node_n, node_w, node_m2 = carry
+        n, node_n, node_w, node_m2, edge_n, edge_w = carry
         x = jnp.where(tree.states.to_move[n] == leaf_to_move,
                       value, 1.0 - value)
         cnt = node_n[n].astype(jnp.float32)
@@ -235,14 +245,28 @@ def _insert_backup(tree: Tree, node, action, leaf_state: GoState,
         node_m2 = node_m2.at[n].add((x - mean_prev) * (x - mean_next))
         node_n = node_n.at[n].add(1)
         node_w = node_w.at[n].add(x)
-        return tree.parent[n], node_n, node_w, node_m2
+        # the edge INTO n (skip at the root, whose parent is -1)
+        par = tree.parent[n]
+        pc = jnp.maximum(par, 0)
+        on = (par >= 0).astype(jnp.int32)
+        edge_n = edge_n.at[pc, tree.parent_action[n]].add(on)
+        edge_w = edge_w.at[pc, tree.parent_action[n]].add(
+            on.astype(jnp.float32) * (1.0 - x))
+        return par, node_n, node_w, node_m2, edge_n, edge_w
 
-    # seed the new leaf's stats, then walk up from its parent
+    # seed the new leaf's stats and its edge, then walk up from its parent
     node_n = jnp.where(has_room, tree.node_n.at[new].set(1), tree.node_n)
     node_w = jnp.where(has_room, tree.node_w.at[new].set(value), tree.node_w)
-    _, node_n, node_w, node_m2 = jax.lax.while_loop(
-        cond, body, (node, node_n, node_w, tree.node_m2))
-    return tree.replace(node_n=node_n, node_w=node_w, node_m2=node_m2)
+    seed = has_room.astype(jnp.int32)
+    nc = jnp.maximum(node, 0)
+    edge_n = tree.edge_n.at[nc, action].add(
+        seed * (node >= 0).astype(jnp.int32))
+    edge_w = tree.edge_w.at[nc, action].add(
+        jnp.where(has_room & (node >= 0), 1.0 - value, 0.0))
+    _, node_n, node_w, node_m2, edge_n, edge_w = jax.lax.while_loop(
+        cond, body, (node, node_n, node_w, tree.node_m2, edge_n, edge_w))
+    return tree.replace(node_n=node_n, node_w=node_w, node_m2=node_m2,
+                        edge_n=edge_n, edge_w=edge_w)
 
 
 # ---------------------------------------------------------------------------
@@ -475,6 +499,8 @@ def reroot(tree: Tree, action: jax.Array, noise_rng: jax.Array,
         node_w=gather(tree.node_w, 0.0),
         node_m2=gather(tree.node_m2, 0.0),
         value0=gather(tree.value0, 0.0),
+        edge_n=gather(tree.edge_n, 0),
+        edge_w=gather(tree.edge_w, 0.0),
         size=jnp.maximum(k, 1),
     )
     return out, valid
@@ -513,15 +539,14 @@ def search_with_reuse(states: GoState, prev_trees: Tree,
 
 def root_visits(tree: Tree) -> jax.Array:
     """i32[362] visit counts of the root's children."""
-    child = tree.children[0]
-    return jnp.where(child >= 0, tree.node_n[jnp.maximum(child, 0)], 0)
+    return tree.edge_n[0]
 
 
 def root_q(tree: Tree) -> jax.Array:
     """f32[362] mean value of each root edge, root-perspective win rate."""
-    child = tree.children[0]
-    mean = 1.0 - _node_mean(tree, jnp.maximum(child, 0))
-    return jnp.where(child >= 0, mean, tree.value0[0])
+    return jnp.where(tree.edge_n[0] > 0,
+                     tree.edge_w[0] / jnp.maximum(tree.edge_n[0], 1),
+                     tree.value0[0])
 
 
 def softmax_targets(tree: Tree) -> jax.Array:

@@ -203,13 +203,12 @@ class TestUnstN:
         tree = jax.tree_util.tree_map(lambda x: x[0], trees)
         # inflate the value of a lightly-visited child so the best-value
         # child no longer matches the most-visited one
-        child = np.asarray(tree.children[0])
         visits = np.asarray(S.root_visits(tree))
         light = next(a for a in np.argsort(visits) if 0 < visits[a])
-        node = int(child[light])
-        # child mean is flipped at the root: small node mean = high root q
-        node_w = tree.node_w.at[node].set(0.0)
-        tree = tree.replace(node_w=node_w)
+        # inflate the edge's accumulated root-perspective value
+        edge_w = tree.edge_w.at[0, int(light)].set(
+            float(tree.edge_n[0, int(light)]))
+        tree = tree.replace(edge_w=edge_w)
         assert bool(np.asarray(S.search_unstable(tree)))
 
     def test_adaptive_does_not_overshoot_num_sims(self):

@@ -1,0 +1,141 @@
+#!/usr/bin/env python3
+"""Per-phase wall-clock profile of one MCTS simulation step on the chip.
+
+Times select / env-step / features / net / insert+backup separately at a
+given batch size and net, following the axon timing protocol (warmup call +
+real device->host fetch, then timed calls + fetch).
+
+Usage: python tools/profile_search.py [--batch 1024] [--sims 16]
+       [--channels 128] [--blocks 9] [--repeat 5] [--cpu]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--capacity", type=int, default=257)
+    ap.add_argument("--warm-sims", type=int, default=24,
+                    help="simulations run before timing (tree fill)")
+    ap.add_argument("--channels", type=int, default=128)
+    ap.add_argument("--blocks", type=int, default=9)
+    ap.add_argument("--repeat", type=int, default=5)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--feature-kernel", action="store_true", default=True)
+    ap.add_argument("--step-kernel", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dream_go_tpu.config import ModelConfig, SearchConfig
+    from dream_go_tpu.go import engine, features
+    from dream_go_tpu.mcts import predictor as PR
+    from dream_go_tpu.mcts import search as S
+    from dream_go_tpu.models import tower as T
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}", file=sys.stderr)
+
+    cfg = SearchConfig(feature_kernel=args.feature_kernel,
+                       step_kernel=args.step_kernel)
+    mcfg = ModelConfig(num_channels=args.channels, num_blocks=args.blocks)
+    params, stats = T.init_tower(mcfg, jax.random.PRNGKey(0))
+    pred = PR.net_predictor(mcfg, params, stats)
+
+    B, C = args.batch, args.capacity
+    states = engine.new_states(B)
+    # randomize the openings so trees have structure
+    key = jax.random.PRNGKey(1)
+    step_j = jax.jit(jax.vmap(engine.step))
+    legal_j = jax.jit(jax.vmap(engine.legal_mask))
+    for i in range(12):
+        key, k = jax.random.split(key)
+        mask = legal_j(states)
+        mv = jax.vmap(lambda m, kk: jax.random.categorical(
+            kk, jnp.where(m, 0.0, -jnp.inf)))(mask, jax.random.split(k, B))
+        states = step_j(states, mv.astype(jnp.int32))
+
+    trees = jax.jit(
+        lambda st, r: S.init_trees(st, pred, r, cfg, C, None)
+    )(states, jax.random.PRNGKey(2))
+    trees = jax.jit(
+        lambda t: S.run_search(t, pred, cfg, args.warm_sims, None)
+    )(trees)
+
+    def fetch(x):
+        return np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[0]
+
+    fetch(trees.node_n)
+
+    # --- phase functions, each jitted standalone --------------------------
+    sel = jax.jit(lambda t: jax.vmap(lambda tt: S._leaf_select(tt, cfg))(t))
+    sel_step = jax.jit(lambda t: jax.vmap(lambda tt: S._leaf(tt, cfg))(t))
+
+    node, action, parents = sel(trees)
+    _, _, leaves = sel_step(trees)
+    fetch(leaves.stones)
+
+    feat = jax.jit(lambda s: features.extract_batch(
+        s, cfg.feature_set, cfg.ladder_features, cfg.feature_kernel))
+    feats = feat(leaves)
+    fetch(feats)
+
+    net = jax.jit(lambda f: pred(f))
+    value, policy = net(feats)
+    fetch(value)
+
+    ins = jax.jit(lambda t, n, a, s, v, p: jax.vmap(
+        lambda *xs: S._insert_backup(*xs, None))(t, n, a, s, v, p))
+    t2 = ins(trees, node, action, leaves, value, policy)
+    fetch(t2.node_n)
+
+    full = jax.jit(lambda t: S.run_search(t, pred, cfg, 8, None))
+    t3 = full(trees)
+    fetch(t3.node_n)
+
+    def timeit(fn, fetch_of, n=None):
+        n = n or args.repeat
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            out = fn()
+            fetch(fetch_of(out))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    out = {}
+    out["select_ms"] = 1e3 * timeit(lambda: sel(trees),
+                                    lambda o: o[0])
+    out["select_step_ms"] = 1e3 * timeit(lambda: sel_step(trees),
+                                         lambda o: o[2].stones)
+    out["step_ms"] = out["select_step_ms"] - out["select_ms"]
+    out["features_ms"] = 1e3 * timeit(lambda: feat(leaves), lambda o: o)
+    out["net_ms"] = 1e3 * timeit(lambda: net(feats), lambda o: o[0])
+    out["insert_backup_ms"] = 1e3 * timeit(
+        lambda: ins(trees, node, action, leaves, value, policy),
+        lambda o: o.node_n)
+    out["full_sim_ms"] = 1e3 * timeit(lambda: full(trees),
+                                      lambda o: o.node_n) / 8.0
+    out["sum_phases_ms"] = (out["select_step_ms"] + out["features_ms"]
+                            + out["net_ms"] + out["insert_backup_ms"])
+    out["sims_per_s"] = args.batch / (out["full_sim_ms"] / 1e3)
+    out["batch"] = args.batch
+    out["capacity"] = args.capacity
+    out["net"] = f"{args.blocks}x{args.channels}"
+    print(json.dumps({k: (round(v, 3) if isinstance(v, float) else v)
+                      for k, v in out.items()}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
