@@ -114,6 +114,9 @@ class SearchConfig:
     adaptive: bool = False             # EARLY-C chunked early termination
     feature_kernel: bool = False       # Pallas liberties-after kernel (TPU)
     step_kernel: bool = False          # Pallas env-step for leaf expansion
+    fused: bool = False                # fused leaf kernel (step+features+
+    #                                    masks in one Pallas pass, TPU);
+    #                                    tree states kept in kernel layout
     feature_set: str = "v1"            # input plane family ("v1" / "v2")
 
     def resolved_max_nodes(self) -> int:

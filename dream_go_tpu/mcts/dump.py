@@ -18,6 +18,10 @@ from . import search as S
 
 def _tree_np(tree):
     """Pull one game's tree to host numpy (tree must be unbatched)."""
+    if isinstance(tree.states, S.PackedStates):
+        to_move = np.asarray(tree.states.meta[:, 0]).astype(np.int8)
+    else:
+        to_move = np.asarray(tree.states.to_move)
     return dict(
         children=np.asarray(tree.children),
         parent=np.asarray(tree.parent),
@@ -26,7 +30,7 @@ def _tree_np(tree):
         node_m2=np.asarray(tree.node_m2),
         prior=np.asarray(tree.prior),
         size=int(np.asarray(tree.size)),
-        to_move=np.asarray(tree.states.to_move),
+        to_move=to_move,
     )
 
 
@@ -83,7 +87,7 @@ def to_sgf(tree, komi: float = 7.5, meta: bool = True,
            min_visits: int = 1) -> str:
     """The whole search tree as an SGF variation tree (`trace-mcts`).
 
-    每 node carries ``C[visits / mean value]`` annotations.
+    Every node carries ``C[visits / mean value]`` annotations.
     """
     t = _tree_np(tree)
 

@@ -46,6 +46,92 @@ A = 362  # actions: 361 points + pass
 MIN_LCB_VISITS = 80  # tree.rs:34
 
 
+class PackedStates(struct.PyTreeNode):
+    """Tree-resident board state in the Pallas kernel layout.
+
+    Same per-board layout as `ops/env_step.pack_states`, narrowed for HBM
+    (i8 stones, i16 chain ids, 64-entry ring) — widened per gathered row
+    when fed to `ops/leaf_step.leaf_step`.  Leading axis is the node index
+    (batch via vmap, like GoState in the XLA path).
+    """
+
+    stones: jax.Array   # i8[N, 384]
+    cid: jax.Array      # i16[N, 384]
+    cxp: jax.Array      # i32[N, 2, 384]  (u32 bit patterns)
+    hist: jax.Array     # i32[N, 2, 64]   super-ko ring
+    meta: jax.Array     # i32[N, 8]  to_move, placed, move_count, pass_count,
+    #                                done, last0, last1, pad
+    hashw: jax.Array    # i32[N, 2]
+    komi: jax.Array     # f32[N] (constant per game)
+
+
+def pack_rows(states: GoState) -> PackedStates:
+    """Batched GoState -> narrow kernel-layout rows (one per board)."""
+    from ..ops import env_step as ES
+
+    stones, cid, cxp, hist, meta, hashw = ES.pack_states(states)
+    return PackedStates(
+        stones=stones[:, 0].astype(jnp.int8),
+        cid=cid[:, 0].astype(jnp.int16),
+        cxp=cxp,
+        hist=hist[:, :, :ES.RING],
+        meta=meta[:, 0],
+        hashw=hashw[:, 0, :2],
+        komi=states.komi,
+    )
+
+
+def _widen_rows(ps: PackedStates):
+    """Narrow rows -> the six wide arrays `leaf_step` consumes."""
+    from ..ops.env_step import RING
+
+    b = ps.stones.shape[0]
+    return (
+        ps.stones.astype(jnp.int32)[:, None, :],
+        ps.cid.astype(jnp.int32)[:, None, :],
+        ps.cxp,
+        jnp.concatenate(
+            [ps.hist, jnp.zeros((b, 2, 128 - RING), jnp.int32)], axis=2),
+        ps.meta[:, None, :],
+        jnp.concatenate(
+            [ps.hashw, jnp.zeros((b, 6), jnp.int32)], axis=1)[:, None, :],
+    )
+
+
+def _narrow_rows(leaf_packed, komi: jax.Array) -> PackedStates:
+    from ..ops.env_step import RING
+
+    stones, cid, cxp, hist, meta, hashw = leaf_packed
+    return PackedStates(
+        stones=stones[:, 0].astype(jnp.int8),
+        cid=cid[:, 0].astype(jnp.int16),
+        cxp=cxp,
+        hist=hist[:, :, :RING],
+        meta=meta[:, 0],
+        hashw=hashw[:, 0, :2],
+        komi=komi,
+    )
+
+
+def unpack_rows(ps: PackedStates) -> GoState:
+    """Narrow rows -> batched GoState (for XLA-side consumers)."""
+    from ..ops import env_step as ES
+
+    b = ps.stones.shape[0]
+    template = engine.new_states(b)
+    wide = _widen_rows(ps)
+    out = ES.unpack_states(template, *wide)
+    return out.replace(komi=ps.komi)
+
+
+def _states_to_move(states, n=None):
+    """to_move accessor across the two state layouts."""
+    if isinstance(states, PackedStates):
+        m = states.meta[..., 0] if n is None else states.meta[n, 0]
+        return m.astype(jnp.int8)
+    return states.to_move if n is None else states.to_move[n]
+
+
 class Tree(struct.PyTreeNode):
     """Fixed-capacity array tree for one game (batch via vmap).
 
@@ -156,7 +242,7 @@ def _select(tree: Tree, cfg: SearchConfig):
     def cond(carry):
         node, action, depth = carry
         child = tree.children[node, action]
-        return (child >= 0) & (depth < tree.states.stones.shape[0])
+        return (child >= 0) & (depth < tree.node_n.shape[0])
 
     def body(carry):
         node, action, depth = carry
@@ -184,13 +270,16 @@ def _leaf_select(tree: Tree, cfg: SearchConfig):
     return node, action, parent_state
 
 
-def _insert_backup(tree: Tree, node, action, leaf_state: GoState,
-                   value, policy, use_scoring, enabled=None) -> Tree:
+def _insert_backup(tree: Tree, node, action, leaf_state,
+                   value, policy, use_scoring, enabled=None,
+                   candidate=None) -> Tree:
     """Attach the evaluated leaf and back its value up to the root.
 
     When the tree is full (possible after subtree reuse), the value is still
     backed up but no node is inserted.  ``enabled=False`` (per-game rollout
     budget exhausted, `self_play.rs:232-241`) makes the whole call a no-op.
+    ``candidate`` (fused path) supplies the kernel-computed mask instead of
+    recomputing it from the leaf state here.
     """
     capacity = tree.node_n.shape[0]
     has_room = tree.size < capacity
@@ -200,12 +289,13 @@ def _insert_backup(tree: Tree, node, action, leaf_state: GoState,
     new = jnp.minimum(tree.size, capacity - 1)
     value = _sane_value(value)
 
-    cand_std = standard_mask(leaf_state)
-    if use_scoring is None:  # static fast path: StandardSearch everywhere
-        candidate = cand_std
-    else:
-        cand_scr = scoring_mask(leaf_state)
-        candidate = jnp.where(use_scoring, cand_scr, cand_std)
+    if candidate is None:
+        cand_std = standard_mask(leaf_state)
+        if use_scoring is None:  # static fast path: StandardSearch everywhere
+            candidate = cand_std
+        else:
+            cand_scr = scoring_mask(leaf_state)
+            candidate = jnp.where(use_scoring, cand_scr, cand_std)
     prior = _masked_prior(policy, candidate)
 
     def set_row(buf, row):
@@ -229,7 +319,7 @@ def _insert_backup(tree: Tree, node, action, leaf_state: GoState,
     # backup from leaf to root with perspective flips (tree.rs:125-159);
     # per-edge stats accumulate 1 - x_child = the value in the PARENT's
     # perspective, so edge_w/edge_n reproduces select's old q_visited
-    leaf_to_move = leaf_state.to_move
+    leaf_to_move = _states_to_move(leaf_state)
 
     def cond(carry):
         n, *_ = carry
@@ -237,7 +327,7 @@ def _insert_backup(tree: Tree, node, action, leaf_state: GoState,
 
     def body(carry):
         n, node_n, node_w, node_m2, edge_n, edge_w = carry
-        x = jnp.where(tree.states.to_move[n] == leaf_to_move,
+        x = jnp.where(_states_to_move(tree.states, n) == leaf_to_move,
                       value, 1.0 - value)
         cnt = node_n[n].astype(jnp.float32)
         mean_prev = jnp.where(cnt > 0, node_w[n] / jnp.maximum(cnt, 1.0), x)
@@ -288,9 +378,10 @@ def init_trees(states: GoState, predictor: Predictor, rng: jax.Array,
         candidate = jnp.where(use_scoring[:, None], cand_scr, cand_std)
     batch = value.shape[0]
     rngs = jax.random.split(rng, batch)
+    tree_states = pack_rows(states) if cfg.fused else states
     return jax.vmap(
         lambda s, v, p, c, r: init_tree(s, v, p, c, r, cfg, num_nodes)
-    )(states, value, policy, candidate, rngs)
+    )(tree_states, value, policy, candidate, rngs)
 
 
 def run_search(trees: Tree, predictor: Predictor, cfg: SearchConfig,
@@ -305,7 +396,36 @@ def run_search(trees: Tree, predictor: Predictor, cfg: SearchConfig,
     """
 
     def sim_step(i, trees):
-        if cfg.step_kernel:
+        candidate = None
+        if cfg.fused:
+            from ..ops.leaf_step import leaf_step
+
+            node, action = jax.vmap(lambda t: _select(t, cfg))(trees)
+            parent = jax.vmap(
+                lambda st, n: jax.tree_util.tree_map(lambda b: b[n], st)
+            )(trees.states, node)
+            leaf_packed, feats_k, cand = leaf_step(
+                *_widen_rows(parent), action, parent.komi)
+            leaf_states = _narrow_rows(leaf_packed, parent.komi)
+            b = cand.shape[0]
+            feats = feats_k[:, :, :361].transpose(0, 2, 1) \
+                .reshape(b, 19, 19, 32)
+            if cfg.ladder_features:
+                from ..go.ladder import ladder_planes
+
+                unpacked = unpack_rows(leaf_states)
+                cap, esc = jax.vmap(ladder_planes)(unpacked)
+                feats = feats.at[..., 30].set(
+                    cap.astype(jnp.float32).reshape(b, 19, 19))
+                feats = feats.at[..., 31].set(
+                    esc.astype(jnp.float32).reshape(b, 19, 19))
+            candidate = jnp.concatenate(
+                [cand, jnp.ones((b, 1), bool)], axis=1)
+            if use_scoring is not None:
+                cand_scr = jax.vmap(scoring_mask)(unpack_rows(leaf_states))
+                candidate = jnp.where(use_scoring[:, None], cand_scr,
+                                      candidate)
+        elif cfg.step_kernel:
             from ..ops.env_step import env_step
 
             node, action, parent_states = jax.vmap(
@@ -316,27 +436,31 @@ def run_search(trees: Tree, predictor: Predictor, cfg: SearchConfig,
         else:
             node, action, leaf_states = jax.vmap(
                 lambda t: _leaf(t, cfg))(trees)
-        feats = features.extract_batch(
-            leaf_states, cfg.feature_set, cfg.ladder_features,
-            cfg.feature_kernel)
+        if not cfg.fused:
+            feats = features.extract_batch(
+                leaf_states, cfg.feature_set, cfg.ladder_features,
+                cfg.feature_kernel)
         value, policy = predictor(feats)
         en = None if budget is None else (start + i) < budget
-        if use_scoring is None and en is None:
-            return jax.vmap(
-                lambda t, n, a, s, v, p: _insert_backup(t, n, a, s, v, p, None)
-            )(trees, node, action, leaf_states, value, policy)
-        if en is None:
-            return jax.vmap(
-                lambda t, n, a, s, v, p, u: _insert_backup(t, n, a, s, v, p, u)
-            )(trees, node, action, leaf_states, value, policy, use_scoring)
-        if use_scoring is None:
-            return jax.vmap(
-                lambda t, n, a, s, v, p, e:
-                    _insert_backup(t, n, a, s, v, p, None, e)
-            )(trees, node, action, leaf_states, value, policy, en)
-        return jax.vmap(
-            lambda t, n, a, s, v, p, u, e: _insert_backup(t, n, a, s, v, p, u, e)
-        )(trees, node, action, leaf_states, value, policy, use_scoring, en)
+
+        extras, keys = [], []
+        if use_scoring is not None and candidate is None:
+            extras.append(use_scoring)
+            keys.append("use_scoring")
+        if en is not None:
+            extras.append(en)
+            keys.append("enabled")
+        if candidate is not None:
+            extras.append(candidate)
+            keys.append("candidate")
+
+        def ins(t, n, a, s, v, p, *rest):
+            kw = dict(zip(keys, rest))
+            return _insert_backup(t, n, a, s, v, p, kw.get("use_scoring"),
+                                  kw.get("enabled"), kw.get("candidate"))
+
+        return jax.vmap(ins)(trees, node, action, leaf_states, value,
+                             policy, *extras)
 
     return jax.lax.fori_loop(0, num_sims, sim_step, trees)
 

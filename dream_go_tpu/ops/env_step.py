@@ -353,7 +353,7 @@ def unpack_states(template: goe.GoState, stones, cid, cxp, hist, meta,
 
 @functools.partial(jax.jit, static_argnames=("interpret", "use_prng"))
 def env_step(states: goe.GoState, weights: jax.Array, seed: jax.Array,
-             interpret: bool = False, use_prng: bool = True,
+             interpret: bool | None = None, use_prng: bool = True,
              rng_bits: jax.Array | None = None):
     """One fused env step for the whole batch.
 
@@ -361,6 +361,8 @@ def env_step(states: goe.GoState, weights: jax.Array, seed: jax.Array,
     random legal move; a game passes when no legal weighted move exists).
     Returns ``(new_states, moves[B])``.
     """
+    if interpret is None:  # run anywhere: interpret on CPU (hermetic tests)
+        interpret = jax.default_backend() == "cpu"
     b = states.stones.shape[0]
     packed = pack_states(states)
     consts = jnp.asarray(np.stack([

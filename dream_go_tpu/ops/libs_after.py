@@ -135,12 +135,14 @@ def _kernel(consts_ref, stones_ref, cid_ref, out_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def liberties_after_both(states: goe.GoState, interpret: bool = False):
+def liberties_after_both(states: goe.GoState, interpret: bool | None = None):
     """(libs_if_black, libs_if_white): int32[B, 361] exact counts.
 
     Values at non-pseudo-legal points are meaningless; mask upstream (the
     feature planes do).
     """
+    if interpret is None:  # run anywhere: interpret on CPU (hermetic tests)
+        interpret = jax.default_backend() == "cpu"
     b = states.stones.shape[0]
     pad = lambda x, fill: jnp.concatenate(
         [x, jnp.full((b, NP - x.shape[1]), fill, x.dtype)], axis=1)
@@ -171,9 +173,11 @@ def liberties_after_both(states: goe.GoState, interpret: bool = False):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def board_features_raw(states: goe.GoState, interpret: bool = False):
+def board_features_raw(states: goe.GoState, interpret: bool | None = None):
     """One kernel pass -> dict of per-point feature ingredients:
     libs_if_black/white, point_libs, pseudo_black/white (int32[B, 361])."""
+    if interpret is None:  # run anywhere: interpret on CPU (hermetic tests)
+        interpret = jax.default_backend() == "cpu"
     b = states.stones.shape[0]
     pad = lambda x, fill: jnp.concatenate(
         [x, jnp.full((b, NP - x.shape[1]), fill, x.dtype)], axis=1)

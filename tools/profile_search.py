@@ -29,6 +29,8 @@ def main() -> int:
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--feature-kernel", action="store_true", default=True)
     ap.add_argument("--step-kernel", action="store_true")
+    ap.add_argument("--fused", action="store_true",
+                    help="profile the fused leaf-kernel driver instead")
     args = ap.parse_args()
 
     import jax
@@ -47,7 +49,7 @@ def main() -> int:
     print(f"device: {dev}", file=sys.stderr)
 
     cfg = SearchConfig(feature_kernel=args.feature_kernel,
-                       step_kernel=args.step_kernel)
+                       step_kernel=args.step_kernel, fused=args.fused)
     mcfg = ModelConfig(num_channels=args.channels, num_blocks=args.blocks)
     params, stats = T.init_tower(mcfg, jax.random.PRNGKey(0))
     pred = PR.net_predictor(mcfg, params, stats)
@@ -77,6 +79,62 @@ def main() -> int:
 
     fetch(trees.node_n)
 
+    def timeit(fn, fetch_of, n=None):
+        n = n or args.repeat
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            out = fn()
+            fetch(fetch_of(out))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    if args.fused:
+        from dream_go_tpu.ops.leaf_step import leaf_step
+
+        sel = jax.jit(lambda t: jax.vmap(lambda tt: S._select(tt, cfg))(t))
+        node, action = sel(trees)
+        fetch(node)
+
+        def kern(trees, node, action):
+            parent = jax.vmap(
+                lambda st, n: jax.tree_util.tree_map(lambda b: b[n], st)
+            )(trees.states, node)
+            leaf_packed, feats_k, cand = leaf_step(
+                *S._widen_rows(parent), action, parent.komi)
+            b = cand.shape[0]
+            feats = feats_k[:, :, :361].transpose(0, 2, 1) \
+                .reshape(b, 19, 19, 32)
+            return feats, cand
+
+        kern_j = jax.jit(kern)
+        feats, cand = kern_j(trees, node, action)
+        fetch(feats)
+        net = jax.jit(lambda f: pred(f))
+        value, policy = net(feats)
+        fetch(value)
+        full = jax.jit(lambda t: S.run_search(t, pred, cfg, 8, None))
+        t3 = full(trees)
+        fetch(t3.node_n)
+
+        out = {}
+        out["select_ms"] = 1e3 * timeit(lambda: sel(trees), lambda o: o[0])
+        out["leaf_kernel_ms"] = 1e3 * timeit(
+            lambda: kern_j(trees, node, action), lambda o: o[0])
+        out["net_ms"] = 1e3 * timeit(lambda: net(feats), lambda o: o[0])
+        out["full_sim_ms"] = 1e3 * timeit(lambda: full(trees),
+                                          lambda o: o.node_n) / 8.0
+        out["insert_est_ms"] = (out["full_sim_ms"] - out["select_ms"]
+                                - out["leaf_kernel_ms"] - out["net_ms"])
+        out["sims_per_s"] = args.batch / (out["full_sim_ms"] / 1e3)
+        out["batch"] = args.batch
+        out["capacity"] = args.capacity
+        out["net"] = f"{args.blocks}x{args.channels}"
+        out["fused"] = True
+        print(json.dumps({k: (round(v, 3) if isinstance(v, float) else v)
+                          for k, v in out.items()}))
+        return 0
+
     # --- phase functions, each jitted standalone --------------------------
     sel = jax.jit(lambda t: jax.vmap(lambda tt: S._leaf_select(tt, cfg))(t))
     sel_step = jax.jit(lambda t: jax.vmap(lambda tt: S._leaf(tt, cfg))(t))
@@ -102,16 +160,6 @@ def main() -> int:
     full = jax.jit(lambda t: S.run_search(t, pred, cfg, 8, None))
     t3 = full(trees)
     fetch(t3.node_n)
-
-    def timeit(fn, fetch_of, n=None):
-        n = n or args.repeat
-        ts = []
-        for _ in range(n):
-            t0 = time.perf_counter()
-            out = fn()
-            fetch(fetch_of(out))
-            ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
 
     out = {}
     out["select_ms"] = 1e3 * timeit(lambda: sel(trees),
