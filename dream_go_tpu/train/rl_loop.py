@@ -142,10 +142,15 @@ def _run_generations(trainer: Trainer, model_cfg: ModelConfig,
             trainer.save(os.path.abspath(
                 os.path.join(loop_cfg.out_dir, f"ckpt_{gen:04d}")))
             from ..models import params as MP
+            blob = MP.dump_json(model_cfg, trainer.state.params,
+                                trainer.state.batch_stats)
             with open(os.path.join(loop_cfg.out_dir, "dream_go.json"),
                       "w") as fh:
-                fh.write(MP.dump_json(model_cfg, trainer.state.params,
-                                      trainer.state.batch_stats))
+                fh.write(blob)
+            # per-generation copy so tools/arena.py can round-robin them
+            with open(os.path.join(loop_cfg.out_dir,
+                                   f"weights_{gen:04d}.json"), "w") as fh:
+                fh.write(blob)
         if trainer.scheduler.should_stop:
             log(f"gen {gen}: learning rate floor reached, stopping")
             break

@@ -71,28 +71,41 @@ def parse_line(line: str) -> SgfGame | None:
                 except ValueError:
                     pass
 
-    # keep the main line only: parens open variations, but ONLY outside
-    # property values — b85 payloads (P[...]) legally contain '(' and ')'
-    # (`sgf.rs:242-267` variation-stack unwinding)
+    # keep the main line only: the FIRST child at every node (later sibling
+    # variations are skipped as whole subtrees, `sgf.rs:242-267`).  Sabaki
+    # and review tools wrap each mainline move in its own nested variation,
+    # so mainline content can sit at any depth.  Parens only count outside
+    # property values — b85 payloads (P[...]) legally contain '(' / ')'.
     out_chars = []
     depth = 0
+    skip_depth = None       # set => skipping a non-first sibling subtree
+    child_seen = [0]        # variations opened directly at each depth
     in_prop = False
     for ch in line:
         if in_prop:
-            if depth <= 1:
+            if skip_depth is None:
                 out_chars.append(ch)
             if ch == "]":
                 in_prop = False
             continue
         if ch == "(":
+            if skip_depth is None and child_seen[depth] > 0:
+                skip_depth = depth + 1
+            child_seen[depth] += 1
             depth += 1
+            if len(child_seen) <= depth:
+                child_seen.append(0)
+            else:
+                child_seen[depth] = 0
             continue
         if ch == ")":
             depth -= 1
+            if skip_depth is not None and depth < skip_depth:
+                skip_depth = None
             continue
         if ch == "[":
             in_prop = True
-        if depth <= 1:
+        if skip_depth is None:
             out_chars.append(ch)
     main = "".join(out_chars)
 

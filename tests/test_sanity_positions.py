@@ -1,0 +1,101 @@
+"""The reference's 13 curated sanity positions, driven over real GTP.
+
+Positions are the reference's own corpus (`contrib/sanity-tests/examples/`,
+mirrored in tests/fixtures/sanity/); assertions mirror
+`contrib/sanity-tests/tests/*.py`: ten exact final_score margins on finished
+games (seki, dead dragons, bent four) and three genmove must-not-play-the-
+broken-ladder cases (`tests/ladder_1.py:33-34`).
+
+The score/genmove quality depends on the network: with a random-init net the
+greedy scorer misjudges dead groups, so these run only when a trained
+weights fixture exists (tests/fixtures/sanity_net.json, produced by an RL
+run — see tools/arena.py) or DG_SANITY_WEIGHTS points at a weights JSON.
+The plumbing-only GTP protocol checks live in test_sanity_gtp.py and always
+run.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FIXTURE = os.path.join(REPO, "tests", "fixtures", "sanity_net.json")
+WEIGHTS = os.environ.get("DG_SANITY_WEIGHTS", FIXTURE)
+
+SCORE_CASES = [
+    ("bent_four_1", "W+6.5"),
+    ("dead_dragon_1", "B+33.5"),
+    ("dead_dragon_2", "B+4.5"),
+    ("dead_dragon_3", "W+7.5"),
+    ("dead_dragon_4", "B+140.5"),
+    ("end_1", "W+48.5"),
+    ("seki_1", "W+4.5"),
+    ("seki_2", "W+9.5"),
+    ("seki_3", "B+20.5"),
+    ("seki_4", "B+8.5"),
+]
+LADDER_CASES = [  # (name, move limit, color, vertex that must NOT be played)
+    ("ladder_1", 70, "B", "j13"),
+    ("ladder_2", 18, "B", "f5"),
+    ("ladder_3", 54, "W", "q10"),
+]
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(WEIGHTS),
+    reason="needs a trained weights fixture (tests/fixtures/sanity_net.json "
+           "or DG_SANITY_WEIGHTS)")
+
+
+@pytest.fixture(scope="module")
+def gtp():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.Popen(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "import sys; sys.path.insert(0, %r);"
+         "from dream_go_tpu.cli import main; main(["
+         "'--gtp','--weights',%r,'--num-rollout','64'])" % (REPO, WEIGHTS)],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True, env=env,
+        cwd=REPO)
+
+    def ask(cmd):
+        proc.stdin.write(cmd + "\n")
+        proc.stdin.flush()
+        out = []
+        while True:
+            line = proc.stdout.readline()
+            if line.strip() == "" and out:
+                break
+            if line == "":
+                raise RuntimeError("engine died")
+            out.append(line.rstrip("\n"))
+        return "\n".join(out)
+
+    yield ask
+    try:
+        proc.stdin.write("quit\n")
+        proc.stdin.flush()
+        proc.wait(timeout=30)
+    except Exception:
+        proc.kill()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name,want", SCORE_CASES)
+def test_final_score(gtp, name, want):
+    path = os.path.join(REPO, "tests", "fixtures", "sanity", f"{name}.sgf")
+    assert gtp(f"loadsgf {path} 722").startswith("=")
+    got = gtp("final_score").lstrip("= ").strip()
+    assert got == want
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name,limit,color,avoid", LADDER_CASES)
+def test_ladder_genmove(gtp, name, limit, color, avoid):
+    path = os.path.join(REPO, "tests", "fixtures", "sanity", f"{name}.sgf")
+    assert gtp(f"loadsgf {path} {limit}").startswith("=")
+    got = gtp(f"genmove {color}").lstrip("= ").strip().lower()
+    assert got != avoid.lower()

@@ -1,0 +1,208 @@
+#!/usr/bin/env python3
+"""Engine-vs-engine arena over RL-loop generation checkpoints.
+
+Plays batched lockstep matches between the per-generation weight dumps an
+RL run leaves in its out dir (``weights_%04d.json``) and fits Elo ratings
+over the results — the learning-curve measurement the reference gets from
+uploading generations to its REST server and CGOS (`README.md:80-93`,
+`tools/sgf2elo.py`).
+
+Both networks evaluate every position (one batched forward each); the
+policy of the side to move is selected per game, colors alternate with the
+game index, and games are scored by Benson clearing + Tromp-Taylor like
+self-play records.  The move function takes both parameter sets as traced
+inputs, so every pairing reuses one compiled program.
+
+Usage: arena.py OUT_DIR [--games 32] [--max-pair-gap 4] [--cpu]
+       [--sgf-out FILE]
+"""
+
+import argparse
+import itertools
+import json
+import math
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def load_gen_weights(out_dir):
+    """[(gen, params, batch_stats, model_cfg)] for every weights_*.json."""
+    import glob
+    import os
+
+    from dream_go_tpu.models import params as MP
+
+    out = []
+    for path in sorted(glob.glob(os.path.join(out_dir, "weights_*.json"))):
+        gen = int(re.search(r"weights_(\d+)\.json$", path).group(1))
+        cfg, params, stats = MP.load_json(open(path).read())
+        out.append((gen, params, stats, cfg))
+    return out
+
+
+def build_move_fn(model_cfg, temperature=0.7, cutoff=0.5):
+    import jax
+    import jax.numpy as jnp
+
+    from dream_go_tpu.go import benson as bn
+    from dream_go_tpu.go import engine, features
+    from dream_go_tpu.go.options import scoring_mask
+    from dream_go_tpu.mcts.choose import choose
+    from dream_go_tpu.models import tower as T
+
+    def net(params, stats, feats):
+        out, _ = T.apply_tower(model_cfg, params, stats, feats, train=False)
+        return (out.value + 1.0) * 0.5, jax.nn.softmax(out.policy_logits,
+                                                       axis=-1)
+
+    @jax.jit
+    def move_fn(wa, wb, states, rng):
+        b = states.stones.shape[0]
+        feats = features.extract_batch(states, "v1", False)
+        va, pa = net(wa[0], wa[1], feats)
+        vb, pb = net(wb[0], wb[1], feats)
+        a_black = (jnp.arange(b) % 2) == 0
+        a_moves = jnp.where(a_black, states.to_move == 1,
+                            states.to_move == 2)
+        policy = jnp.where(a_moves[:, None], pa, pb)
+        value = jnp.where(a_moves, va, vb)
+
+        scorable = jax.vmap(bn.is_scorable)(states)
+        std_mask = engine.legal_mask_batch(states)
+        scoring = jax.vmap(scoring_mask)(states)
+        mask = jnp.where(scorable[:, None], std_mask, scoring)
+        masked = jnp.where(mask, policy, 0.0)
+        move = choose(rng, masked, cutoff, temperature)
+        move = jnp.where(states.done, engine.PASS, move)
+        return engine.step_batch(states, move.astype(jnp.int32)), move, value
+
+    @jax.jit
+    def territory(states):
+        return jax.vmap(bn.stone_status)(
+            states.stones, states.chain_id, states.stones, states.chain_id)[1]
+
+    return move_fn, territory
+
+
+def play_pair(move_fn, territory_fn, wa, wb, name_a, name_b, games, seed,
+              komi=7.5, max_moves=722):
+    """SGF lines for `games` lockstep games of A vs B (colors alternate)."""
+    import jax
+    import numpy as np
+
+    from dream_go_tpu.go import engine
+
+    states = engine.new_states(games, komi=komi)
+    key = jax.random.PRNGKey(seed)
+    for _ in range(max_moves):
+        key, sub = jax.random.split(key)
+        states, _, _ = move_fn(wa, wb, states, sub)
+        if bool(np.all(np.asarray(states.done))):
+            break
+
+    terr = np.asarray(territory_fn(states))
+    out = []
+    for g in range(games):
+        black = float((terr[g] == 1).sum())
+        white = float((terr[g] == 2).sum()) + komi
+        res = f"B+{black - white:.1f}" if black > white \
+            else f"W+{white - black:.1f}" if white > black else "0"
+        pb, pw = (name_a, name_b) if g % 2 == 0 else (name_b, name_a)
+        out.append(f"(;GM[1]FF[4]SZ[19]KM[{komi:.1f}]PB[{pb}]PW[{pw}]"
+                   f"RE[{res}])")
+    return out
+
+
+def fit_elo(lines):
+    """{name: rating} by logistic MLE (same fit as tools/sgf2elo.py)."""
+    pat_b = re.compile(r"PB\[([^\]]*)\]")
+    pat_w = re.compile(r"PW\[([^\]]*)\]")
+    pat_r = re.compile(r"RE\[([BW])")
+    games = []
+    rating = {}
+    for line in lines:
+        b, w, r = pat_b.search(line), pat_w.search(line), pat_r.search(line)
+        if not (b and w and r):
+            continue
+        games.append((b.group(1), w.group(1),
+                      1.0 if r.group(1) == "B" else 0.0))
+        rating.setdefault(b.group(1), 0.0)
+        rating.setdefault(w.group(1), 0.0)
+    names = sorted(rating)
+    for _ in range(2000):
+        grad = {n: 0.0 for n in names}
+        for b, w, s in games:
+            p = 1.0 / (1.0 + 10 ** ((rating[w] - rating[b]) / 400.0))
+            grad[b] += s - p
+            grad[w] -= s - p
+        for n in names:
+            rating[n] += 8.0 * grad[n] / max(1, len(games))
+        anchor = rating[names[0]]
+        for n in names:
+            rating[n] -= anchor
+    return rating
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out_dir")
+    ap.add_argument("--games", type=int, default=32)
+    ap.add_argument("--max-pair-gap", type=int, default=4,
+                    help="play gen i vs j only when j - i <= this "
+                         "(plus power-of-two long links)")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--sgf-out", help="also write match SGF lines here")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    gens = load_gen_weights(args.out_dir)
+    if len(gens) < 2:
+        print("need >= 2 generations", file=sys.stderr)
+        return 1
+    model_cfg = gens[0][3]
+    move_fn, territory_fn = build_move_fn(model_cfg)
+
+    pairs = []
+    for (i, (gi, *_)), (j, (gj, *_)) in itertools.combinations(
+            enumerate(gens), 2):
+        gap = j - i
+        if gap <= args.max_pair_gap or (gap & (gap - 1)) == 0:
+            pairs.append((i, j))
+
+    lines = []
+    for n, (i, j) in enumerate(pairs):
+        gi, pa, sa, _ = gens[i]
+        gj, pb, sb, _ = gens[j]
+        res = play_pair(move_fn, territory_fn, (pa, sa), (pb, sb),
+                        f"gen{gi:04d}", f"gen{gj:04d}", args.games,
+                        args.seed + 7919 * n)
+        lines.extend(res)
+        wins_a = sum(1 for l in res
+                     if (f"PB[gen{gi:04d}]" in l) == ("RE[B" in l))
+        print(f"gen{gi:04d} vs gen{gj:04d}: {wins_a}/{len(res)}",
+              file=sys.stderr, flush=True)
+
+    if args.sgf_out:
+        with open(args.sgf_out, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+
+    rating = fit_elo(lines)
+    ordered = sorted(rating.items())
+    print(json.dumps({"elo": {n: round(r, 1) for n, r in ordered},
+                      "games": len(lines)}))
+    deltas = [ordered[k + 1][1] - ordered[k][1]
+              for k in range(len(ordered) - 1)]
+    rising = sum(1 for d in deltas if d > 0)
+    print(f"adjacent-generation Elo rises: {rising}/{len(deltas)}",
+          file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
