@@ -70,17 +70,22 @@ def main():
     sync(states)
     print(f"compile+first call: {time.time() - t0:.1f}s", file=sys.stderr)
 
-    # measure (fetch-synced; dispatches pipeline)
+    # measure (fetch-synced; dispatches pipeline); median of 5 repeats so
+    # tunnel jitter does not move the headline between rounds
     calls = 30 if on_tpu else 8
-    t0 = time.time()
-    for c in range(calls):
-        states = one(states, jnp.int32(100 + c))
-    total_moves = sync(states)
-    dt = max(time.time() - t0, 1e-9)
-    env_steps = batch * calls
-    steps_per_s = env_steps / dt
-    print(f"{env_steps} env steps in {dt:.3f}s "
-          f"(total moves on device: {total_moves})", file=sys.stderr)
+    rates = []
+    for rep in range(5):
+        t0 = time.time()
+        for c in range(calls):
+            states = one(states, jnp.int32(100 + rep * calls + c))
+        total_moves = sync(states)
+        dt = max(time.time() - t0, 1e-9)
+        rates.append(batch * calls / dt)
+    steps_per_s = float(np.median(rates))
+    print(f"env steps/s over 5 repeats of {batch * calls}: "
+          f"min {min(rates):,.0f} median {steps_per_s:,.0f} "
+          f"max {max(rates):,.0f} (moves on device: {total_moves})",
+          file=sys.stderr)
 
     # secondary: NN forward throughput on the flagship tower
     try:
@@ -153,23 +158,48 @@ def main():
             from dream_go_tpu.mcts.predictor import net_predictor
             from dream_go_tpu.models import tower as T
 
-            mb, sims = (256, 64) if on_tpu else (8, 8)
-            mcfg = ModelConfig(num_channels=64, num_blocks=6)
+            # FLAGSHIP net (9x128), fused leaf kernel, batch 1024: warm the
+            # trees once, then median-of-5 over fixed 16-sim chunks
+            mb, sims, reps = (1024, 16, 5) if on_tpu else (8, 4, 2)
+            mcfg = ModelConfig()
             mp, mstats = T.init_tower(mcfg, jax.random.PRNGKey(0))
             pred = net_predictor(mcfg, mp, mstats)
-            scfg = SearchConfig(feature_kernel=on_tpu)
+            scfg = SearchConfig(fused=on_tpu, feature_kernel=not on_tpu)
             mstates = engine.new_states(mb)
-            run = jax.jit(lambda st, r: S.search(st, pred, r, scfg, sims))
-            t = run(mstates, jax.random.PRNGKey(0))
-            int(np.asarray(jnp.sum(t.node_n)))
-            t0 = time.time()
-            t = run(mstates, jax.random.PRNGKey(1))
-            int(np.asarray(jnp.sum(t.node_n)))
-            sps = mb * sims / (time.time() - t0)
-            print(f"mcts simulations/s (6x64 net, batch {mb}, {sims} sims): "
-                  f"{sps:,.0f}", file=sys.stderr)
+            trees = jax.jit(lambda st, r: S.init_trees(
+                st, pred, r, scfg, sims * (reps + 2) + 1, None))(
+                mstates, jax.random.PRNGKey(0))
+            run = jax.jit(lambda t: S.run_search(t, pred, scfg, sims, None))
+            trees = run(trees)
+            int(np.asarray(jnp.sum(trees.node_n)))
+            times = []
+            for _ in range(reps):
+                t0 = time.time()
+                trees = run(trees)
+                int(np.asarray(jnp.sum(trees.node_n)))
+                times.append(time.time() - t0)
+            sps = mb * sims / float(np.median(times))
+            print(f"mcts simulations/s (9x128 net, fused, batch {mb}, "
+                  f"median of {reps}x{sims} sims): {sps:,.0f}",
+                  file=sys.stderr)
         except Exception as e:
             print(f"mcts bench skipped: {e}", file=sys.stderr)
+
+        try:
+            # serving latency: one flagship genmove (B=1, 100 sims)
+            gstates = engine.new_states(1)
+            gcfg = SearchConfig(feature_kernel=on_tpu)
+            gsims = 100 if on_tpu else 8
+            grun = jax.jit(lambda st, r: S.search(st, pred, r, gcfg, gsims))
+            t = grun(gstates, jax.random.PRNGKey(0))
+            int(np.asarray(jnp.sum(t.node_n)))
+            t0 = time.time()
+            t = grun(gstates, jax.random.PRNGKey(1))
+            int(np.asarray(jnp.sum(t.node_n)))
+            print(f"genmove latency (9x128, {gsims} sims, batch 1): "
+                  f"{1e3 * (time.time() - t0):,.0f} ms", file=sys.stderr)
+        except Exception as e:
+            print(f"genmove bench skipped: {e}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "env_steps_per_sec_per_chip",

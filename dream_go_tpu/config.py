@@ -152,6 +152,11 @@ class ModelConfig:
     num_features: int = 32             # input planes (32 for v1, 18 for v2)
     feature_set: str = "v1"            # "v1" (default) or "v2"
     compute_dtype: str = "bfloat16"
+    remat: bool = False                # recompute residual-block activations
+    #                                    in backward (recompute_grad.py:25-56
+    #                                    semantics via jax.checkpoint); off by
+    #                                    default -- at 9x128 the activations
+    #                                    fit HBM comfortably
 
 
 @dataclasses.dataclass(frozen=True)

@@ -360,6 +360,155 @@ def _insert_backup(tree: Tree, node, action, leaf_state,
 
 
 # ---------------------------------------------------------------------------
+# flat-tree hot path
+#
+# The vmapped row ops above are the readable reference; the simulation loop
+# itself runs on a FLATTENED tree ([B, C, ...] leaves viewed as [B*C, ...])
+# with explicit global row ids.  Per-lane indexing under vmap lowers on TPU
+# to masked whole-array selects (a full [B, C, 362] rewrite per update, the
+# dominant cost of a simulation); plain row gathers and unique-index row
+# scatters on the flat view lower to the efficient dynamic-slice paths.
+
+
+def _flatten_trees(trees: Tree) -> Tree:
+    """[B, C, ...] leaves -> [B*C, ...] views (free reshape; size stays [B])."""
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape((-1,) + x.shape[2:]) if x.ndim >= 2 else x,
+        trees)
+
+
+def _unflatten_trees(trees_flat: Tree, batch: int) -> Tree:
+    return jax.tree_util.tree_map(
+        lambda x: x if x.shape[0] == batch
+        else x.reshape((batch, -1) + x.shape[1:]), trees_flat)
+
+
+def _select_flat(tf: Tree, cfg: SearchConfig, batch: int, cap: int):
+    """Batched root->leaf PUCT walk on the flat tree; (node, action) [B]."""
+    base = jnp.arange(batch, dtype=jnp.int32) * cap
+
+    def puct(node):
+        gid = base + node
+        edge_n = tf.edge_n[gid]                               # [B, A]
+        q_visited = tf.edge_w[gid] / jnp.maximum(edge_n, 1)
+        n_tot = tf.node_n[gid].astype(jnp.float32)            # [B]
+        v0 = tf.value0[gid]
+        fpu = jnp.where(node == 0, v0,
+                        jnp.maximum(v0 - cfg.fpu_reduce.at(n_tot), 0.0))
+        q = jnp.where(edge_n > 0, q_visited, fpu[:, None])
+        bonus = (cfg.uct_exp.at(n_tot) * jnp.sqrt(1.0 + n_tot))[:, None] \
+            / (1.0 + edge_n.astype(jnp.float32))
+        cand = tf.candidate[gid]
+        score = q + tf.prior[gid] * bonus
+        score = jnp.where(cand & jnp.isfinite(score), score, -jnp.inf)
+        any_cand = jnp.any(cand, axis=1)
+        return jnp.where(any_cand, jnp.argmax(score, axis=1),
+                         A - 1).astype(jnp.int32)
+
+    node0 = jnp.zeros((batch,), jnp.int32)
+    carry0 = (node0, puct(node0), jnp.zeros((batch,), bool), jnp.int32(0))
+
+    def cond(c):
+        node, action, done, depth = c
+        return (~jnp.all(done)) & (depth < cap)
+
+    def body(c):
+        node, action, done, depth = c
+        child = tf.children[base + node, action]
+        adv = (~done) & (child >= 0)
+        node2 = jnp.where(adv, child, node)
+        action2 = jnp.where(adv, puct(node2), action)
+        return node2, action2, done | (child < 0), depth + 1
+
+    node, action, _, _ = jax.lax.while_loop(cond, body, carry0)
+    return node, action
+
+
+def _insert_backup_flat(tf: Tree, node, action, leaf_rows, value, policy,
+                        use_scoring, enabled, candidate,
+                        batch: int, cap: int) -> Tree:
+    """Batched insert+backup on the flat tree (same semantics as
+    :func:`_insert_backup`; guarded writes become OOB-dropped scatters)."""
+    base = jnp.arange(batch, dtype=jnp.int32) * cap
+    oob = batch * cap + jnp.arange(batch, dtype=jnp.int32)  # unique, dropped
+    has_room = tf.size < cap
+    if enabled is not None:
+        has_room = has_room & enabled
+        node = jnp.where(enabled, node, jnp.int32(-1))
+    new = jnp.minimum(tf.size, cap - 1)
+    value = _sane_value(value)
+
+    if candidate is None:
+        cand_std = jax.vmap(standard_mask)(leaf_rows)
+        if use_scoring is None:
+            candidate = cand_std
+        else:
+            cand_scr = jax.vmap(scoring_mask)(leaf_rows)
+            candidate = jnp.where(use_scoring[:, None], cand_scr, cand_std)
+    prior = jax.vmap(_masked_prior)(policy, candidate)
+
+    idx_new = jnp.where(has_room, base + new, oob)
+
+    def setr(buf, row):
+        return buf.at[idx_new].set(row, mode="drop", unique_indices=True)
+
+    ok_child = has_room & (node >= 0)
+    child_row = jnp.where(ok_child, base + jnp.maximum(node, 0), oob)
+    tf = tf.replace(
+        states=jax.tree_util.tree_map(setr, tf.states, leaf_rows),
+        prior=setr(tf.prior, prior),
+        candidate=setr(tf.candidate, candidate),
+        children=tf.children.at[child_row, action].set(
+            new, mode="drop", unique_indices=True),
+        parent=setr(tf.parent, node),
+        parent_action=setr(tf.parent_action, action),
+        size=tf.size + has_room.astype(jnp.int32),
+        value0=setr(tf.value0, value),
+    )
+
+    leaf_to_move = _states_to_move(leaf_rows)
+
+    node_n = setr(tf.node_n, jnp.ones((batch,), jnp.int32))
+    node_w = setr(tf.node_w, value)
+    edge_n = tf.edge_n.at[child_row, action].add(
+        1, mode="drop", unique_indices=True)
+    edge_w = tf.edge_w.at[child_row, action].add(
+        jnp.where(ok_child, 1.0 - value, 0.0),
+        mode="drop", unique_indices=True)
+
+    def cond(c):
+        return jnp.any(c[0] >= 0)
+
+    def body(c):
+        n, node_n, node_w, node_m2, edge_n, edge_w = c
+        act = n >= 0
+        g = base + jnp.maximum(n, 0)
+        gi = jnp.where(act, g, oob)
+        x = jnp.where(_states_to_move(tf.states, g) == leaf_to_move,
+                      value, 1.0 - value)
+        cnt = node_n[g].astype(jnp.float32)
+        mean_prev = jnp.where(cnt > 0, node_w[g] / jnp.maximum(cnt, 1.0), x)
+        mean_next = (node_w[g] + x) / (cnt + 1.0)
+        node_m2 = node_m2.at[gi].add((x - mean_prev) * (x - mean_next),
+                                     mode="drop", unique_indices=True)
+        node_n = node_n.at[gi].add(1, mode="drop", unique_indices=True)
+        node_w = node_w.at[gi].add(x, mode="drop", unique_indices=True)
+        par = jnp.where(act, tf.parent[g], n)
+        pa = tf.parent_action[g]
+        on = act & (par >= 0)
+        pg = jnp.where(on, base + jnp.maximum(par, 0), oob)
+        edge_n = edge_n.at[pg, pa].add(1, mode="drop", unique_indices=True)
+        edge_w = edge_w.at[pg, pa].add(jnp.where(on, 1.0 - x, 0.0),
+                                       mode="drop", unique_indices=True)
+        return par, node_n, node_w, node_m2, edge_n, edge_w
+
+    _, node_n, node_w, node_m2, edge_n, edge_w = jax.lax.while_loop(
+        cond, body, (node, node_n, node_w, tf.node_m2, edge_n, edge_w))
+    return tf.replace(node_n=node_n, node_w=node_w, node_m2=node_m2,
+                      edge_n=edge_n, edge_w=edge_w)
+
+
+# ---------------------------------------------------------------------------
 # batched search driver
 
 
@@ -395,15 +544,17 @@ def run_search(trees: Tree, predictor: Predictor, cfg: SearchConfig,
     loop, but result semantics match and the adaptive driver exits earlier.
     """
 
-    def sim_step(i, trees):
+    batch = trees.size.shape[0]
+    cap = trees.node_n.shape[1]
+    base = jnp.arange(batch, dtype=jnp.int32) * cap
+
+    def sim_step(i, tf):
         candidate = None
+        node, action = _select_flat(tf, cfg, batch, cap)
+        parent = jax.tree_util.tree_map(lambda x: x[base + node], tf.states)
         if cfg.fused:
             from ..ops.leaf_step import leaf_step
 
-            node, action = jax.vmap(lambda t: _select(t, cfg))(trees)
-            parent = jax.vmap(
-                lambda st, n: jax.tree_util.tree_map(lambda b: b[n], st)
-            )(trees.states, node)
             leaf_packed, feats_k, cand = leaf_step(
                 *_widen_rows(parent), action, parent.komi)
             leaf_states = _narrow_rows(leaf_packed, parent.komi)
@@ -414,9 +565,9 @@ def run_search(trees: Tree, predictor: Predictor, cfg: SearchConfig,
                 from ..go.ladder import ladder_planes
 
                 unpacked = unpack_rows(leaf_states)
-                cap, esc = jax.vmap(ladder_planes)(unpacked)
+                capt, esc = jax.vmap(ladder_planes)(unpacked)
                 feats = feats.at[..., 30].set(
-                    cap.astype(jnp.float32).reshape(b, 19, 19))
+                    capt.astype(jnp.float32).reshape(b, 19, 19))
                 feats = feats.at[..., 31].set(
                     esc.astype(jnp.float32).reshape(b, 19, 19))
             candidate = jnp.concatenate(
@@ -428,41 +579,24 @@ def run_search(trees: Tree, predictor: Predictor, cfg: SearchConfig,
         elif cfg.step_kernel:
             from ..ops.env_step import env_step
 
-            node, action, parent_states = jax.vmap(
-                lambda t: _leaf_select(t, cfg))(trees)
             onehot = (jnp.arange(engine.PASS)[None, :]
                       == action[:, None]).astype(jnp.float32)
-            leaf_states, _ = env_step(parent_states, onehot, 0)
+            leaf_states, _ = env_step(parent, onehot, 0)
         else:
-            node, action, leaf_states = jax.vmap(
-                lambda t: _leaf(t, cfg))(trees)
+            leaf_states = jax.vmap(engine.step)(parent, action)
         if not cfg.fused:
             feats = features.extract_batch(
                 leaf_states, cfg.feature_set, cfg.ladder_features,
                 cfg.feature_kernel)
         value, policy = predictor(feats)
         en = None if budget is None else (start + i) < budget
+        return _insert_backup_flat(
+            tf, node, action, leaf_states, value, policy,
+            use_scoring if candidate is None else None, en, candidate,
+            batch, cap)
 
-        extras, keys = [], []
-        if use_scoring is not None and candidate is None:
-            extras.append(use_scoring)
-            keys.append("use_scoring")
-        if en is not None:
-            extras.append(en)
-            keys.append("enabled")
-        if candidate is not None:
-            extras.append(candidate)
-            keys.append("candidate")
-
-        def ins(t, n, a, s, v, p, *rest):
-            kw = dict(zip(keys, rest))
-            return _insert_backup(t, n, a, s, v, p, kw.get("use_scoring"),
-                                  kw.get("enabled"), kw.get("candidate"))
-
-        return jax.vmap(ins)(trees, node, action, leaf_states, value,
-                             policy, *extras)
-
-    return jax.lax.fori_loop(0, num_sims, sim_step, trees)
+    tf = jax.lax.fori_loop(0, num_sims, sim_step, _flatten_trees(trees))
+    return _unflatten_trees(tf, batch)
 
 
 def search(states: GoState, predictor: Predictor, rng: jax.Array,

@@ -147,9 +147,14 @@ class Tower(nn.Module):
         x = x.astype(dtype)
         x = BNConv(self.cfg.num_channels, folded=self.folded, dtype=dtype,
                    name="upsample")(x, train)
+        block = ResidualBlock
+        if self.cfg.remat and train:
+            # activation recomputation (reference recompute_grad.py:25-56):
+            # per-block checkpointing trades FLOPs for HBM on deep towers
+            block = nn.remat(ResidualBlock, static_argnums=(2,))
         for i in range(self.cfg.num_blocks):
-            x = ResidualBlock(self.cfg.num_channels, folded=self.folded,
-                              dtype=dtype, name=f"residual_{i:02d}")(x, train)
+            x = block(self.cfg.num_channels, folded=self.folded,
+                      dtype=dtype, name=f"residual_{i:02d}")(x, train)
         policy = PolicyHead(self.cfg.num_samples, folded=self.folded,
                             dtype=dtype, name="policy")(x, train)
         value, ownership = ValueHead(folded=self.folded, dtype=dtype,

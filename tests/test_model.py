@@ -79,3 +79,28 @@ def test_dump_load_round_trip():
                                np.asarray(want.policy_logits), atol=8e-2)
     np.testing.assert_allclose(np.asarray(got.ownership),
                                np.asarray(want.ownership), atol=2e-2)
+
+
+def test_remat_gradients_match():
+    """cfg.remat recomputes activations without changing grads
+    (reference recompute_grad.py:25-56 equivalence)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dream_go_tpu.config import ModelConfig
+    from dream_go_tpu.models import tower as T
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 19, 19, 32))
+    sums = []
+    for remat in (False, True):
+        cfg = ModelConfig(num_channels=8, num_blocks=2, remat=remat)
+        params, stats = T.init_tower(cfg, jax.random.PRNGKey(0))
+
+        def loss(p, cfg=cfg):
+            out, _ = T.apply_tower(cfg, p, stats, x, train=True)
+            return jnp.sum(out.policy_logits ** 2) + jnp.sum(out.value ** 2)
+
+        g = jax.grad(loss)(params)
+        sums.append(float(jax.tree_util.tree_reduce(
+            lambda a, b: a + jnp.sum(jnp.abs(b)), g, 0.0)))
+    assert sums[0] == sums[1]
