@@ -384,7 +384,14 @@ def _unflatten_trees(trees_flat: Tree, batch: int) -> Tree:
 
 
 def _select_flat(tf: Tree, cfg: SearchConfig, batch: int, cap: int):
-    """Batched root->leaf PUCT walk on the flat tree; (node, action) [B]."""
+    """Batched root->leaf PUCT walk on the flat tree.
+
+    Returns ``(node, action, path_n, path_a)``: the leaf's parent and the
+    chosen action, plus the visited chain ``path_n[B, cap]`` (node ids,
+    -1-padded; ``path_n[:, 0] == 0``) and the action taken at each chain
+    node ``path_a``.  The chain is exactly the backup path, so insert can
+    apply every level in one scatter instead of a per-level loop.
+    """
     base = jnp.arange(batch, dtype=jnp.int32) * cap
 
     def puct(node):
@@ -406,29 +413,48 @@ def _select_flat(tf: Tree, cfg: SearchConfig, batch: int, cap: int):
                          A - 1).astype(jnp.int32)
 
     node0 = jnp.zeros((batch,), jnp.int32)
-    carry0 = (node0, puct(node0), jnp.zeros((batch,), bool), jnp.int32(0))
+    action0 = puct(node0)
+    path_n = jnp.full((batch, cap), -1, jnp.int32).at[:, 0].set(0)
+    path_a = jnp.zeros((batch, cap), jnp.int32).at[:, 0].set(action0)
+    carry0 = (node0, action0, jnp.zeros((batch,), bool), jnp.int32(1),
+              path_n, path_a)
 
     def cond(c):
-        node, action, done, depth = c
+        node, action, done, depth, *_ = c
         return (~jnp.all(done)) & (depth < cap)
 
     def body(c):
-        node, action, done, depth = c
+        node, action, done, depth, path_n, path_a = c
         child = tf.children[base + node, action]
         adv = (~done) & (child >= 0)
         node2 = jnp.where(adv, child, node)
         action2 = jnp.where(adv, puct(node2), action)
-        return node2, action2, done | (child < 0), depth + 1
+        # uniform write position: a lane advancing at iteration t has
+        # advanced exactly t times (done is sticky), so this is a cheap
+        # dynamic-update-slice, not a scatter
+        path_n = jax.lax.dynamic_update_index_in_dim(
+            path_n, jnp.where(adv, node2, -1), depth, axis=1)
+        path_a = jax.lax.dynamic_update_index_in_dim(
+            path_a, jnp.where(adv, action2, 0), depth, axis=1)
+        return node2, action2, done | (child < 0), depth + 1, path_n, path_a
 
-    node, action, _, _ = jax.lax.while_loop(cond, body, carry0)
-    return node, action
+    node, action, _, _, path_n, path_a = jax.lax.while_loop(
+        cond, body, carry0)
+    return node, action, path_n, path_a
 
 
-def _insert_backup_flat(tf: Tree, node, action, leaf_rows, value, policy,
-                        use_scoring, enabled, candidate,
+def _insert_backup_flat(tf: Tree, node, action, path_n, path_a, leaf_rows,
+                        value, policy, use_scoring, enabled, candidate,
                         batch: int, cap: int) -> Tree:
     """Batched insert+backup on the flat tree (same semantics as
-    :func:`_insert_backup`; guarded writes become OOB-dropped scatters)."""
+    :func:`_insert_backup`).
+
+    Guarded writes become OOB-dropped unique-index scatters, and the whole
+    backup chain (supplied by select as ``path_n``/``path_a``) is applied
+    in ONE scatter per statistic: every chain node is visited exactly once
+    per simulation, so the per-node Welford updates are independent and
+    need no sequential loop.
+    """
     base = jnp.arange(batch, dtype=jnp.int32) * cap
     oob = batch * cap + jnp.arange(batch, dtype=jnp.int32)  # unique, dropped
     has_room = tf.size < cap
@@ -468,42 +494,51 @@ def _insert_backup_flat(tf: Tree, node, action, leaf_rows, value, policy,
 
     leaf_to_move = _states_to_move(leaf_rows)
 
-    node_n = setr(tf.node_n, jnp.ones((batch,), jnp.int32))
-    node_w = setr(tf.node_w, value)
-    edge_n = tf.edge_n.at[child_row, action].add(
-        1, mode="drop", unique_indices=True)
-    edge_w = tf.edge_w.at[child_row, action].add(
-        jnp.where(ok_child, 1.0 - value, 0.0),
+    # ---- whole-chain backup in one scatter per array --------------------
+    valid = path_n >= 0                                     # [B, D]
+    if enabled is not None:
+        valid = valid & enabled[:, None]
+    g = base[:, None] + jnp.maximum(path_n, 0)              # [B, D] global
+    x = jnp.where(_states_to_move(tf.states, g) == leaf_to_move[:, None],
+                  value[:, None], 1.0 - value[:, None])     # [B, D]
+    cnt = tf.node_n[g].astype(jnp.float32)
+    wpre = tf.node_w[g]
+    mean_prev = jnp.where(cnt > 0, wpre / jnp.maximum(cnt, 1.0), x)
+    mean_next = (wpre + x) / (cnt + 1.0)
+
+    d = path_n.shape[1]
+    oob2 = batch * cap + jnp.arange(batch * d, dtype=jnp.int32)
+    gflat = jnp.where(valid, g, oob2.reshape(batch, d)).reshape(-1)
+    node_m2 = tf.node_m2.at[gflat].add(
+        ((x - mean_prev) * (x - mean_next)).reshape(-1),
         mode="drop", unique_indices=True)
-
-    def cond(c):
-        return jnp.any(c[0] >= 0)
-
-    def body(c):
-        n, node_n, node_w, node_m2, edge_n, edge_w = c
-        act = n >= 0
-        g = base + jnp.maximum(n, 0)
-        gi = jnp.where(act, g, oob)
-        x = jnp.where(_states_to_move(tf.states, g) == leaf_to_move,
-                      value, 1.0 - value)
-        cnt = node_n[g].astype(jnp.float32)
-        mean_prev = jnp.where(cnt > 0, node_w[g] / jnp.maximum(cnt, 1.0), x)
-        mean_next = (node_w[g] + x) / (cnt + 1.0)
-        node_m2 = node_m2.at[gi].add((x - mean_prev) * (x - mean_next),
+    node_n = tf.node_n.at[gflat].add(1, mode="drop", unique_indices=True)
+    node_w = tf.node_w.at[gflat].add(x.reshape(-1),
                                      mode="drop", unique_indices=True)
-        node_n = node_n.at[gi].add(1, mode="drop", unique_indices=True)
-        node_w = node_w.at[gi].add(x, mode="drop", unique_indices=True)
-        par = jnp.where(act, tf.parent[g], n)
-        pa = tf.parent_action[g]
-        on = act & (par >= 0)
-        pg = jnp.where(on, base + jnp.maximum(par, 0), oob)
-        edge_n = edge_n.at[pg, pa].add(1, mode="drop", unique_indices=True)
-        edge_w = edge_w.at[pg, pa].add(jnp.where(on, 1.0 - x, 0.0),
-                                       mode="drop", unique_indices=True)
-        return par, node_n, node_w, node_m2, edge_n, edge_w
+    # seed the new leaf's stats (chain excludes the leaf)
+    node_n = node_n.at[idx_new].set(1, mode="drop", unique_indices=True)
+    node_w = node_w.at[idx_new].set(value, mode="drop", unique_indices=True)
 
-    _, node_n, node_w, node_m2, edge_n, edge_w = jax.lax.while_loop(
-        cond, body, (node, node_n, node_w, tf.node_m2, edge_n, edge_w))
+    # edge INTO chain node k is (path_n[k-1], path_a[k-1]) and accumulates
+    # the CHILD's value in the parent's perspective (1 - x_k)
+    erow = base[:, None] + jnp.maximum(path_n[:, :-1], 0)   # [B, D-1]
+    eidx = erow * A + path_a[:, :-1]
+    evalid = valid[:, 1:]
+    xk = x[:, 1:]
+    ooe = batch * cap * A + jnp.arange(batch * (d - 1), dtype=jnp.int32)
+    eflat = jnp.where(evalid, eidx, ooe.reshape(batch, d - 1)).reshape(-1)
+    edge_n_f = tf.edge_n.reshape(-1).at[eflat].add(
+        1, mode="drop", unique_indices=True)
+    edge_w_f = tf.edge_w.reshape(-1).at[eflat].add(
+        (1.0 - xk).reshape(-1), mode="drop", unique_indices=True)
+    # the leaf's own edge (node, action)
+    seed_idx = jnp.where(ok_child, child_row * A + action,
+                         batch * cap * A + jnp.arange(batch, dtype=jnp.int32))
+    edge_n = edge_n_f.at[seed_idx].add(
+        1, mode="drop", unique_indices=True).reshape(tf.edge_n.shape)
+    edge_w = edge_w_f.at[seed_idx].add(
+        1.0 - value, mode="drop", unique_indices=True).reshape(
+        tf.edge_w.shape)
     return tf.replace(node_n=node_n, node_w=node_w, node_m2=node_m2,
                       edge_n=edge_n, edge_w=edge_w)
 
@@ -550,7 +585,7 @@ def run_search(trees: Tree, predictor: Predictor, cfg: SearchConfig,
 
     def sim_step(i, tf):
         candidate = None
-        node, action = _select_flat(tf, cfg, batch, cap)
+        node, action, path_n, path_a = _select_flat(tf, cfg, batch, cap)
         parent = jax.tree_util.tree_map(lambda x: x[base + node], tf.states)
         if cfg.fused:
             from ..ops.leaf_step import leaf_step
@@ -591,7 +626,7 @@ def run_search(trees: Tree, predictor: Predictor, cfg: SearchConfig,
         value, policy = predictor(feats)
         en = None if budget is None else (start + i) < budget
         return _insert_backup_flat(
-            tf, node, action, leaf_states, value, policy,
+            tf, node, action, path_n, path_a, leaf_states, value, policy,
             use_scoring if candidate is None else None, en, candidate,
             batch, cap)
 

@@ -86,14 +86,44 @@ def main() -> int:
     full_j = jax.jit(lambda t: S.run_search(t, pred, cfg, SIMS, None))
     timeit("fused_full", lambda: full_j(trees))
 
+    fake = PR.random_predictor()
+    nonet_j = jax.jit(lambda t: S.run_search(t, fake, cfg, SIMS, None))
+    timeit("full_fake_net", lambda: nonet_j(trees))
+
+    from dream_go_tpu.ops.leaf_step import leaf_step
+
+    def noins_loop(t):
+        tf = S._flatten_trees(t)
+        base = jnp.arange(B, dtype=jnp.int32) * C
+
+        def body(i, carry):
+            tf, acc = carry
+            node, action, path_n, path_a = S._select_flat(tf, cfg, B, C)
+            parent = jax.tree_util.tree_map(lambda x: x[base + node],
+                                            tf.states)
+            leaf_packed, feats_k, cand = leaf_step(
+                *S._widen_rows(parent), action, parent.komi)
+            feats = feats_k[:, :, :361].transpose(0, 2, 1) \
+                .reshape(B, 19, 19, 32)
+            value, policy = pred(feats)
+            acc = acc + jnp.sum(value) + jnp.sum(path_n[:, 1]) \
+                + jnp.sum(cand) + (i - i)
+            return tf, acc
+
+        return jax.lax.fori_loop(0, SIMS, body, (tf, jnp.float32(0.0)))[1]
+
+    noins_j = jax.jit(noins_loop)
+    timeit("no_insert_ctx", lambda: noins_j(trees))
+
     base = jnp.arange(B, dtype=jnp.int32) * C
 
     def sel_loop(t):
         tf = S._flatten_trees(t)
 
         def body(i, acc):
-            node, action = S._select_flat(tf, cfg, B, C)
-            return acc + jnp.sum(node + i) + jnp.sum(action)
+            node, action, path_n, path_a = S._select_flat(tf, cfg, B, C)
+            return acc + jnp.sum(node + i) + jnp.sum(action) \
+                + jnp.sum(path_n[:, 1])
 
         return jax.lax.fori_loop(0, SIMS, body, jnp.int32(0))
 
@@ -112,8 +142,11 @@ def main() -> int:
         def body(i, tf):
             node = jnp.zeros((B,), jnp.int32)
             action = jnp.full((B,), 1, jnp.int32) + i
-            return S._insert_backup_flat(tf, node, action, leaf_rows, value,
-                                         policy, None, None, cand, B, C)
+            path_n = jnp.full((B, C), -1, jnp.int32).at[:, 0].set(0)
+            path_a = jnp.zeros((B, C), jnp.int32).at[:, 0].set(action)
+            return S._insert_backup_flat(tf, node, action, path_n, path_a,
+                                         leaf_rows, value, policy, None,
+                                         None, cand, B, C)
 
         return jax.lax.fori_loop(0, SIMS, body, tf).node_n
 
