@@ -44,6 +44,12 @@ from .predictor import Predictor
 
 A = 362  # actions: 361 points + pass
 MIN_LCB_VISITS = 80  # tree.rs:34
+MAX_BACKUP_DEPTH = 128  # select/backup path bound: the recorded chain (and
+#                         its per-sim gather/scatter width) stops here; a
+#                         walk that somehow exceeds it re-expands the edge
+#                         at level 127 instead (practical searches stay far
+#                         below; a pure line tree of >128 sims would orphan
+#                         one node per extra sim)
 
 
 class PackedStates(struct.PyTreeNode):
@@ -154,6 +160,9 @@ class Tree(struct.PyTreeNode):
     #                          perspective, so select touches only rows of
     #                          the current node — no [B,A]-indexed gathers
     #                          from [B,N] child stats on the hot path
+    node_to_move: jax.Array  # i32[N] to-move at each node (compact copy of
+    #                          the state row, so backup's perspective flips
+    #                          gather one scalar, not a packed-state row)
     size: jax.Array          # i32 allocated nodes
 
 
@@ -185,6 +194,8 @@ def init_tree(state: GoState, value: jax.Array, policy: jax.Array,
         value0=jnp.zeros((n,)).at[0].set(_sane_value(value)),
         edge_n=jnp.zeros((n, A), jnp.int32),
         edge_w=jnp.zeros((n, A)),
+        node_to_move=jnp.broadcast_to(
+            _states_to_move(state).astype(jnp.int32), (n,)),
         size=jnp.int32(1),
     )
     return tree
@@ -314,6 +325,8 @@ def _insert_backup(tree: Tree, node, action, leaf_state,
         parent_action=set_row(tree.parent_action, action),
         size=tree.size + has_room.astype(jnp.int32),
         value0=set_row(tree.value0, value),
+        node_to_move=set_row(tree.node_to_move,
+                             _states_to_move(leaf_state).astype(jnp.int32)),
     )
 
     # backup from leaf to root with perspective flips (tree.rs:125-159);
@@ -412,20 +425,24 @@ def _select_flat(tf: Tree, cfg: SearchConfig, batch: int, cap: int):
         return jnp.where(any_cand, jnp.argmax(score, axis=1),
                          A - 1).astype(jnp.int32)
 
+    d = min(cap, MAX_BACKUP_DEPTH)
     node0 = jnp.zeros((batch,), jnp.int32)
     action0 = puct(node0)
-    path_n = jnp.full((batch, cap), -1, jnp.int32).at[:, 0].set(0)
-    path_a = jnp.zeros((batch, cap), jnp.int32).at[:, 0].set(action0)
+    path_n = jnp.full((batch, d), -1, jnp.int32).at[:, 0].set(0)
+    path_a = jnp.zeros((batch, d), jnp.int32).at[:, 0].set(action0)
     carry0 = (node0, action0, jnp.zeros((batch,), bool), jnp.int32(1),
               path_n, path_a)
 
     def cond(c):
         node, action, done, depth, *_ = c
-        return (~jnp.all(done)) & (depth < cap)
+        return (~jnp.all(done)) & (depth < d)
 
     def body(c):
         node, action, done, depth, path_n, path_a = c
-        child = tf.children[base + node, action]
+        # row gather + take: a paired-index gather here makes XLA keep a
+        # TRANSPOSED copy of `children` alive across the loop
+        child = jnp.take_along_axis(
+            tf.children[base + node], action[:, None], axis=1)[:, 0]
         adv = (~done) & (child >= 0)
         node2 = jnp.where(adv, child, node)
         action2 = jnp.where(adv, puct(node2), action)
@@ -480,26 +497,33 @@ def _insert_backup_flat(tf: Tree, node, action, path_n, path_a, leaf_rows,
 
     ok_child = has_room & (node >= 0)
     child_row = jnp.where(ok_child, base + jnp.maximum(node, 0), oob)
+    # children[node, action] = new as a row read-modify-write: an element-
+    # indexed 2D scatter makes XLA:TPU retile the array through a
+    # transposed flat view every sim
+    crow = tf.children[jnp.where(ok_child, child_row, 0)]
+    crow = jnp.where(jnp.arange(A, dtype=jnp.int32)[None, :]
+                     == action[:, None], new[:, None], crow)
     tf = tf.replace(
         states=jax.tree_util.tree_map(setr, tf.states, leaf_rows),
         prior=setr(tf.prior, prior),
         candidate=setr(tf.candidate, candidate),
-        children=tf.children.at[child_row, action].set(
-            new, mode="drop", unique_indices=True),
+        children=tf.children.at[child_row].set(
+            crow, mode="drop", unique_indices=True),
         parent=setr(tf.parent, node),
         parent_action=setr(tf.parent_action, action),
         size=tf.size + has_room.astype(jnp.int32),
         value0=setr(tf.value0, value),
     )
 
-    leaf_to_move = _states_to_move(leaf_rows)
+    leaf_to_move = _states_to_move(leaf_rows).astype(jnp.int32)
+    tf = tf.replace(node_to_move=setr(tf.node_to_move, leaf_to_move))
 
     # ---- whole-chain backup in one scatter per array --------------------
     valid = path_n >= 0                                     # [B, D]
     if enabled is not None:
         valid = valid & enabled[:, None]
     g = base[:, None] + jnp.maximum(path_n, 0)              # [B, D] global
-    x = jnp.where(_states_to_move(tf.states, g) == leaf_to_move[:, None],
+    x = jnp.where(tf.node_to_move[g] == leaf_to_move[:, None],
                   value[:, None], 1.0 - value[:, None])     # [B, D]
     cnt = tf.node_n[g].astype(jnp.float32)
     wpre = tf.node_w[g]
@@ -507,38 +531,42 @@ def _insert_backup_flat(tf: Tree, node, action, path_n, path_a, leaf_rows,
     mean_next = (wpre + x) / (cnt + 1.0)
 
     d = path_n.shape[1]
-    oob2 = batch * cap + jnp.arange(batch * d, dtype=jnp.int32)
-    gflat = jnp.where(valid, g, oob2.reshape(batch, d)).reshape(-1)
-    node_m2 = tf.node_m2.at[gflat].add(
-        ((x - mean_prev) * (x - mean_next)).reshape(-1),
-        mode="drop", unique_indices=True)
-    node_n = tf.node_n.at[gflat].add(1, mode="drop", unique_indices=True)
-    node_w = tf.node_w.at[gflat].add(x.reshape(-1),
-                                     mode="drop", unique_indices=True)
+    oob2 = (batch * cap
+            + jnp.arange(batch * d, dtype=jnp.int32).reshape(batch, d))
+    gmask = jnp.where(valid, g, oob2)
+    node_m2 = tf.node_m2.at[gmask].add(
+        (x - mean_prev) * (x - mean_next), mode="drop", unique_indices=True)
+    node_n = tf.node_n.at[gmask].add(1, mode="drop", unique_indices=True)
+    node_w = tf.node_w.at[gmask].add(x, mode="drop", unique_indices=True)
     # seed the new leaf's stats (chain excludes the leaf)
     node_n = node_n.at[idx_new].set(1, mode="drop", unique_indices=True)
     node_w = node_w.at[idx_new].set(value, mode="drop", unique_indices=True)
 
     # edge INTO chain node k is (path_n[k-1], path_a[k-1]) and accumulates
-    # the CHILD's value in the parent's perspective (1 - x_k)
-    erow = base[:, None] + jnp.maximum(path_n[:, :-1], 0)   # [B, D-1]
-    eidx = erow * A + path_a[:, :-1]
+    # the CHILD's value in the parent's perspective (1 - x_k).  Updates go
+    # in as ONE-HOT FULL ROWS at unique row indices (the embedding-gradient
+    # scatter-add pattern): element-indexed 2D scatters made XLA:TPU retile
+    # the whole [B*C, A] arrays through a transposed flat view every sim.
     evalid = valid[:, 1:]
+    erow = jnp.where(evalid,
+                     base[:, None] + jnp.maximum(path_n[:, :-1], 0),
+                     oob2[:, 1:]).reshape(-1)                # [B*(D-1)]
+    hot = (jnp.arange(A, dtype=jnp.int32)[None, None, :]
+           == path_a[:, :-1, None])                          # [B, D-1, A]
     xk = x[:, 1:]
-    ooe = batch * cap * A + jnp.arange(batch * (d - 1), dtype=jnp.int32)
-    eflat = jnp.where(evalid, eidx, ooe.reshape(batch, d - 1)).reshape(-1)
-    edge_n_f = tf.edge_n.reshape(-1).at[eflat].add(
-        1, mode="drop", unique_indices=True)
-    edge_w_f = tf.edge_w.reshape(-1).at[eflat].add(
-        (1.0 - xk).reshape(-1), mode="drop", unique_indices=True)
-    # the leaf's own edge (node, action)
-    seed_idx = jnp.where(ok_child, child_row * A + action,
-                         batch * cap * A + jnp.arange(batch, dtype=jnp.int32))
-    edge_n = edge_n_f.at[seed_idx].add(
-        1, mode="drop", unique_indices=True).reshape(tf.edge_n.shape)
-    edge_w = edge_w_f.at[seed_idx].add(
-        1.0 - value, mode="drop", unique_indices=True).reshape(
-        tf.edge_w.shape)
+    edge_n = tf.edge_n.at[erow].add(
+        hot.astype(jnp.int32).reshape(-1, A),
+        mode="drop", unique_indices=True)
+    edge_w = tf.edge_w.at[erow].add(
+        (hot * (1.0 - xk)[:, :, None]).reshape(-1, A),
+        mode="drop", unique_indices=True)
+    # the leaf's own edge (node, action), same full-row form
+    seed_hot = jnp.arange(A, dtype=jnp.int32)[None, :] == action[:, None]
+    edge_n = edge_n.at[child_row].add(
+        seed_hot.astype(jnp.int32), mode="drop", unique_indices=True)
+    edge_w = edge_w.at[child_row].add(
+        seed_hot * (1.0 - value)[:, None],
+        mode="drop", unique_indices=True)
     return tf.replace(node_n=node_n, node_w=node_w, node_m2=node_m2,
                       edge_n=edge_n, edge_w=edge_w)
 
@@ -794,6 +822,7 @@ def reroot(tree: Tree, action: jax.Array, noise_rng: jax.Array,
         value0=gather(tree.value0, 0.0),
         edge_n=gather(tree.edge_n, 0),
         edge_w=gather(tree.edge_w, 0.0),
+        node_to_move=gather(tree.node_to_move, 0),
         size=jnp.maximum(k, 1),
     )
     return out, valid
