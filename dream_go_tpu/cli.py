@@ -79,6 +79,9 @@ def main(argv=None):
                         help="output directory for --loop")
     parser.add_argument("--mesh", action="store_true",
                         help="--loop: shard actor+learner over all devices")
+    parser.add_argument("--resume-loop", action="store_true",
+                        help="--loop: continue from out-dir's last "
+                             "checkpointed generation")
     parser.add_argument("--mesh-model", type=int, default=1,
                         help="tensor-parallel width for head kernels")
     parser.add_argument("--ex-it", action="store_true")
@@ -204,7 +207,8 @@ def _rl_loop(args):
                      games_per_generation=args.num_games,
                      ex_it=args.ex_it, out_dir=args.out_dir,
                      seed=args.seed, use_mesh=args.mesh,
-                     mesh_model=args.mesh_model))
+                     mesh_model=args.mesh_model,
+                     resume=args.resume_loop))
 
 
 def _print_tensors(args):

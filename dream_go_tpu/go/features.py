@@ -185,6 +185,15 @@ def features_v1_batch(states: GoState, with_ladders: bool = False,
     """Batched feature extraction; ``use_kernel`` offloads the
     liberties-after-move planes to the Pallas kernel (TPU only)."""
     if not use_kernel:
+        if with_ladders:
+            # chunked so the per-candidate DFS stacks stay bounded
+            from .ladder import ladder_planes_batch
+
+            cap, esc = ladder_planes_batch(states)
+            return jax.vmap(
+                lambda s, c, e: features_v1(s, ladder_capture=c,
+                                            ladder_escape=e)
+            )(states, cap, esc)
         return jax.vmap(
             lambda s: features_v1_full(s, with_ladders))(states)
     from ..ops.libs_after import board_features_raw
@@ -196,18 +205,21 @@ def features_v1_batch(states: GoState, with_ladders: bool = False,
     pseudo_me = jnp.where(me_black, raw["pseudo_black"], raw["pseudo_white"])
     pseudo_opp = jnp.where(me_black, raw["pseudo_white"], raw["pseudo_black"])
 
-    def one(state, lm, lo, pls, pm, po):
-        kwargs = dict(libs_after=(lm, lo), point_libs=pls, pseudo=(pm, po))
-        if with_ladders:
-            from .ladder import ladder_planes
+    if with_ladders:
+        from .ladder import ladder_planes_batch
 
-            cap, esc = ladder_planes(state)
-            return features_v1(state, ladder_capture=cap, ladder_escape=esc,
-                               **kwargs)
-        return features_v1(state, **kwargs)
+        caps, escs = ladder_planes_batch(states)
+        return jax.vmap(
+            lambda state, lm, lo, pls, pm, po, c, e: features_v1(
+                state, libs_after=(lm, lo), point_libs=pls, pseudo=(pm, po),
+                ladder_capture=c, ladder_escape=e)
+        )(states, libs_me, libs_opp, raw["point_libs"], pseudo_me,
+          pseudo_opp, caps, escs)
 
-    return jax.vmap(one)(states, libs_me, libs_opp, raw["point_libs"],
-                         pseudo_me, pseudo_opp)
+    return jax.vmap(
+        lambda state, lm, lo, pls, pm, po: features_v1(
+            state, libs_after=(lm, lo), point_libs=pls, pseudo=(pm, po))
+    )(states, libs_me, libs_opp, raw["point_libs"], pseudo_me, pseudo_opp)
 
 
 def features_v1_full(state: GoState, with_ladders: bool = False,

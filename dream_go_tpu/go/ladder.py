@@ -298,3 +298,23 @@ def ladder_planes(state: GoState, max_candidates: int = 24):
     escape = jnp.zeros(NN, bool).at[jnp.minimum(slots, NN - 1)].max(
         escs & (slots < NN))
     return capture, escape
+
+
+def ladder_planes_batch(states: GoState, chunk: int = 128,
+                        max_candidates: int = 24):
+    """Batched :func:`ladder_planes` with bounded memory.
+
+    The per-candidate DFS stacks are live for every candidate of every
+    board at once under a flat vmap (~20GB at batch 1024); chunking the
+    batch through ``lax.map`` keeps at most ``chunk`` games' ladder state
+    resident while staying one compiled program.
+    """
+    b = states.stones.shape[0]
+    one = lambda s: ladder_planes(s, max_candidates)
+    if b <= chunk or b % chunk != 0:
+        return jax.vmap(one)(states)
+    stacked = jax.tree_util.tree_map(
+        lambda x: x.reshape((b // chunk, chunk) + x.shape[1:]), states)
+    out = lax.map(lambda s: jax.vmap(one)(s), stacked)
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape((b,) + x.shape[2:]), out)

@@ -625,10 +625,10 @@ def run_search(trees: Tree, predictor: Predictor, cfg: SearchConfig,
             feats = feats_k[:, :, :361].transpose(0, 2, 1) \
                 .reshape(b, 19, 19, 32)
             if cfg.ladder_features:
-                from ..go.ladder import ladder_planes
+                from ..go.ladder import ladder_planes_batch
 
                 unpacked = unpack_rows(leaf_states)
-                capt, esc = jax.vmap(ladder_planes)(unpacked)
+                capt, esc = ladder_planes_batch(unpacked)
                 feats = feats.at[..., 30].set(
                     capt.astype(jnp.float32).reshape(b, 19, 19))
                 feats = feats.at[..., 31].set(

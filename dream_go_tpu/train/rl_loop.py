@@ -58,6 +58,8 @@ class RLLoopConfig:
     seed: int = 0
     use_mesh: bool = False              # shard actor+learner over all devices
     mesh_model: int = 1                 # tensor-parallel width for head kernels
+    resume: bool = False                # continue from out_dir's last ckpt_NNNN
+    #                                     + refill replay from gen_NNNN.sgf
 
 
 def run_rl_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
@@ -69,7 +71,23 @@ def run_rl_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
     import contextlib
 
     log = log_fn or (lambda msg: print(msg, file=sys.stderr, flush=True))
-    trainer = Trainer.create(model_cfg, train_cfg, seed=loop_cfg.seed)
+    start_gen = 0
+    if loop_cfg.resume and loop_cfg.out_dir:
+        ckpts = sorted(
+            int(m.group(1)) for name in os.listdir(loop_cfg.out_dir)
+            if (m := re.fullmatch(r"ckpt_(\d+)", name))
+        ) if os.path.isdir(loop_cfg.out_dir) else []
+        if ckpts:
+            start_gen = ckpts[-1] + 1
+            trainer = Trainer.restore(
+                os.path.join(loop_cfg.out_dir, f"ckpt_{ckpts[-1]:04d}"),
+                train_cfg)
+            log(f"resume: generation {start_gen} from ckpt_{ckpts[-1]:04d}")
+        else:
+            trainer = Trainer.create(model_cfg, train_cfg,
+                                     seed=loop_cfg.seed)
+    else:
+        trainer = Trainer.create(model_cfg, train_cfg, seed=loop_cfg.seed)
 
     mesh_ctx: contextlib.AbstractContextManager = contextlib.nullcontext()
     actor_sharding = None
@@ -83,17 +101,25 @@ def run_rl_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
 
     with mesh_ctx:
         return _run_generations(trainer, model_cfg, train_cfg, selfplay_cfg,
-                                search_cfg, loop_cfg, actor_sharding, log)
+                                search_cfg, loop_cfg, actor_sharding, log,
+                                start_gen)
 
 
 def _run_generations(trainer: Trainer, model_cfg: ModelConfig,
                      train_cfg: TrainConfig, selfplay_cfg: SelfPlayConfig,
                      search_cfg: SearchConfig, loop_cfg: RLLoopConfig,
-                     actor_sharding, log) -> Trainer:
+                     actor_sharding, log, start_gen: int = 0) -> Trainer:
     replay: collections.deque[str] = collections.deque(
         maxlen=loop_cfg.replay_window_games)
+    if start_gen and loop_cfg.out_dir:
+        # refill the sliding window from the archived generations
+        for g in range(max(0, start_gen - 16), start_gen):
+            path = os.path.join(loop_cfg.out_dir, f"gen_{g:04d}.sgf")
+            if os.path.exists(path):
+                with open(path) as fh:
+                    replay.extend(l.strip() for l in fh if l.strip())
 
-    for gen in range(loop_cfg.generations):
+    for gen in range(start_gen, loop_cfg.generations):
         predictor = net_predictor(model_cfg, trainer.state.params,
                                   trainer.state.batch_stats)
         sp_cfg = dataclasses.replace(

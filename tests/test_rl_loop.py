@@ -30,3 +30,28 @@ def test_balance_games():
     assert sorted(out) == sorted([b, w])
     # never empties the pool
     assert balance_games([b, b]) == [b, b]
+
+
+def test_resume_continues_from_last_checkpoint(tmp_path):
+    """The loop is restartable after a crash: it restores the last
+    generation's trainer checkpoint and refills the replay window from the
+    archived SGFs (SURVEY §5 restartability)."""
+    args = (
+        ModelConfig(num_channels=8, num_blocks=1, num_samples=2),
+        TrainConfig(batch_size=8),
+        SelfPlayConfig(num_games=4, num_rollout=6, max_moves=36),
+        SearchConfig(num_rollout=6),
+    )
+    run_rl_loop(*args, RLLoopConfig(
+        generations=2, games_per_generation=4,
+        train_steps_per_generation=3, ex_it=False,
+        out_dir=str(tmp_path), seed=0), log_fn=lambda m: None)
+    logs = []
+    trainer = run_rl_loop(*args, RLLoopConfig(
+        generations=3, games_per_generation=4,
+        train_steps_per_generation=3, ex_it=False,
+        out_dir=str(tmp_path), seed=0, resume=True), log_fn=logs.append)
+    assert any("resume: generation 2" in m for m in logs)
+    assert int(trainer.state.step) == 9            # 6 restored + 3 new
+    assert (tmp_path / "ckpt_0002").exists()
+    assert (tmp_path / "weights_0002.json").exists()
