@@ -91,6 +91,33 @@ def _build_move_fn(player: PolicyPlayer):
     return move_fn
 
 
+def _build_scan_fn(player: PolicyPlayer, chunk: int):
+    """``chunk`` lockstep moves in ONE device program (lax.scan).
+
+    Through a remote-tunnel platform every host round-trip costs ~30ms;
+    per-move fetches dominate actor wall-clock.  The scan emits the
+    per-move records as stacked device arrays fetched once per chunk
+    (policy compressed to f16 on device).
+    """
+    move_fn = _build_move_fn(player)
+
+    @jax.jit
+    def scan_fn(states: engine.GoState, rng: jax.Array):
+        def step(carry, key):
+            states = carry
+            active = ~states.done
+            to_move = states.to_move
+            new_states, move, value, policy = move_fn(states, key)
+            return new_states, (active, move, value, to_move,
+                                policy.astype(jnp.float16))
+
+        keys = jax.random.split(rng, chunk)
+        states, recs = jax.lax.scan(step, states, keys)
+        return states, recs
+
+    return scan_fn
+
+
 @functools.partial(jax.jit)
 def _final_territory(states: engine.GoState):
     return jax.vmap(bn.stone_status)(
@@ -113,17 +140,22 @@ def policy_self_play(player: PolicyPlayer, cfg: SelfPlayConfig,
     if sharding is not None:
         states = jax.tree_util.tree_map(
             lambda x: jax.device_put(x, sharding), states)
-    move_fn = _build_move_fn(player)
+    chunk = min(32, cfg.max_moves)
+    scan_fn = _build_scan_fn(player, chunk)
     key = jax.random.PRNGKey(seed)
 
     records = []  # (active[B], move[B], value[B], to_move[B], policy f16)
-    for _ in range(cfg.max_moves):
+    done_moves = 0
+    while done_moves < cfg.max_moves:
+        step = min(chunk, cfg.max_moves - done_moves)
+        fn = scan_fn if step == chunk else _build_scan_fn(player, step)
         key, sub = jax.random.split(key)
-        active = ~np.asarray(states.done)
-        to_move = np.asarray(states.to_move)
-        states, move, value, policy = move_fn(states, sub)
-        records.append((active, np.asarray(move), np.asarray(value),
-                        to_move, np.asarray(policy, dtype=np.float16)))
+        states, recs = fn(states, sub)
+        active, move, value, to_move, policy = (np.asarray(r) for r in recs)
+        for k in range(step):
+            records.append((active[k], move[k], value[k], to_move[k],
+                            policy[k]))
+        done_moves += step
         if bool(np.all(np.asarray(states.done))):
             break
 
