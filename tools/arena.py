@@ -28,17 +28,21 @@ sys.path.insert(0, "/root/repo")
 
 
 def load_gen_weights(out_dir):
-    """[(gen, params, batch_stats, model_cfg)] for every weights_*.json."""
+    """[(gen, folded_params, model_cfg)] for every weights_*.json."""
     import glob
     import os
+
+    import jax.numpy as jnp
+    from jax import tree_util
 
     from dream_go_tpu.models import params as MP
 
     out = []
     for path in sorted(glob.glob(os.path.join(out_dir, "weights_*.json"))):
         gen = int(re.search(r"weights_(\d+)\.json$", path).group(1))
-        cfg, params, stats = MP.load_json(open(path).read())
-        out.append((gen, params, stats, cfg))
+        cfg, params = MP.load_json(open(path).read())
+        params = tree_util.tree_map(jnp.asarray, params)
+        out.append((gen, params, cfg))
     return out
 
 
@@ -52,8 +56,9 @@ def build_move_fn(model_cfg, temperature=0.7, cutoff=0.5):
     from dream_go_tpu.mcts.choose import choose
     from dream_go_tpu.models import tower as T
 
-    def net(params, stats, feats):
-        out, _ = T.apply_tower(model_cfg, params, stats, feats, train=False)
+    def net(params, feats):
+        out, _ = T.apply_tower(model_cfg, params, None, feats,
+                               train=False, folded=True)
         return (out.value + 1.0) * 0.5, jax.nn.softmax(out.policy_logits,
                                                        axis=-1)
 
@@ -61,8 +66,8 @@ def build_move_fn(model_cfg, temperature=0.7, cutoff=0.5):
     def move_fn(wa, wb, states, rng):
         b = states.stones.shape[0]
         feats = features.extract_batch(states, "v1", False)
-        va, pa = net(wa[0], wa[1], feats)
-        vb, pb = net(wb[0], wb[1], feats)
+        va, pa = net(wa, feats)
+        vb, pb = net(wb, feats)
         a_black = (jnp.arange(b) % 2) == 0
         a_moves = jnp.where(a_black, states.to_move == 1,
                             states.to_move == 2)
@@ -165,7 +170,7 @@ def main():
     if len(gens) < 2:
         print("need >= 2 generations", file=sys.stderr)
         return 1
-    model_cfg = gens[0][3]
+    model_cfg = gens[0][2]
     move_fn, territory_fn = build_move_fn(model_cfg)
 
     pairs = []
@@ -177,9 +182,9 @@ def main():
 
     lines = []
     for n, (i, j) in enumerate(pairs):
-        gi, pa, sa, _ = gens[i]
-        gj, pb, sb, _ = gens[j]
-        res = play_pair(move_fn, territory_fn, (pa, sa), (pb, sb),
+        gi, pa, _ = gens[i]
+        gj, pb, _ = gens[j]
+        res = play_pair(move_fn, territory_fn, pa, pb,
                         f"gen{gi:04d}", f"gen{gj:04d}", args.games,
                         args.seed + 7919 * n)
         lines.extend(res)
