@@ -219,3 +219,22 @@ class TestUnstN:
             st, pred, rng, cfg, 12, adaptive=True))(
                 states, jax.random.PRNGKey(0))
         assert int(np.asarray(trees.node_n[0, 0])) <= 1 + 12
+
+
+def test_line_tree_deeper_than_backup_bound():
+    """A pure line tree deeper than MAX_BACKUP_DEPTH stays sane: the walk
+    caps at the bound (re-expanding the deepest edge), stats stay finite,
+    and every simulation still contributes a root visit."""
+    import numpy as np
+
+    from dream_go_tpu.mcts import predictor as PR
+
+    pred = PR.fake_predictor(72, value=0.6)
+    states = engine.new_states(2)
+    cfg = SearchConfig(dirichlet_noise=0.0)
+    trees = S.search(states, pred, jax.random.PRNGKey(0), cfg, 140,
+                     capacity=150)
+    assert np.all(np.asarray(trees.size) == 141)
+    visits = np.asarray(jax.vmap(S.root_visits)(trees)).sum(axis=1)
+    assert np.all(visits == 140)
+    assert np.all(np.isfinite(np.asarray(trees.node_w)))
