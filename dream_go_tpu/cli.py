@@ -84,6 +84,12 @@ def main(argv=None):
                              "checkpointed generation")
     parser.add_argument("--mesh-model", type=int, default=1,
                         help="tensor-parallel width for head kernels")
+    parser.add_argument("--positions-per-game", type=int, default=8,
+                        help="--loop: training examples drawn per replayed "
+                             "game (one device replay serves this many)")
+    parser.add_argument("--bank-games", type=int, default=1024,
+                        help="--loop: games replayed into the per-generation "
+                             "example bank (0 disables banking)")
     parser.add_argument("--ex-it", action="store_true")
     parser.add_argument("--num-rollout", type=int, default=1600)
     parser.add_argument("--num-games", type=int, default=128)
@@ -208,6 +214,8 @@ def _rl_loop(args):
                      ex_it=args.ex_it, out_dir=args.out_dir,
                      seed=args.seed, use_mesh=args.mesh,
                      mesh_model=args.mesh_model,
+                     positions_per_game=args.positions_per_game,
+                     bank_games=args.bank_games,
                      resume=args.resume_loop))
 
 

@@ -128,15 +128,19 @@ def annotate_lines(lines: list[str], predictor: Predictor,
 
 def reanalyze(lines: list[str], predictor: Predictor,
               search_cfg: SearchConfig | None = None, num_sims: int = 100,
-              fraction: float = 0.05, seed: int = 0) -> list[str]:
+              fraction: float = 0.05, seed: int = 0,
+              position_batch: int = 64) -> list[str]:
     """`--reanalyze`: refresh ~5% of positions with new search annotations."""
     return annotate_lines(lines, predictor, search_cfg, num_sims,
-                          fraction=fraction, max_value=None, seed=seed)
+                          fraction=fraction, max_value=None, seed=seed,
+                          position_batch=position_batch)
 
 
 def ex_it(lines: list[str], predictor: Predictor,
           search_cfg: SearchConfig | None = None, num_sims: int = 100,
-          fraction: float = 0.05, seed: int = 0) -> list[str]:
+          fraction: float = 0.05, seed: int = 0,
+          position_batch: int = 64) -> list[str]:
     """`--ex-it`: expert-iteration annotation of mid-value positions."""
     return annotate_lines(lines, predictor, search_cfg, num_sims,
-                          fraction=fraction, max_value=0.8, seed=seed)
+                          fraction=fraction, max_value=0.8, seed=seed,
+                          position_batch=position_batch)

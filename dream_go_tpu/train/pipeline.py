@@ -32,7 +32,8 @@ import numpy as np
 from ..go import engine, features
 from ..go.topology import SYM
 from ..utils import sgf
-from ..selfplay.replay import lz_features, states_and_stone_history_at, states_at
+from ..selfplay.replay import (lz_features, states_and_stone_history_at,
+                               states_at, states_at_multi)
 
 
 @dataclasses.dataclass
@@ -120,15 +121,38 @@ def make_labels(game: ParsedGame, pos: int) -> dict:
 
 
 class ExampleSource:
-    """Iterates shuffled example batches from big-SGF lines."""
+    """Iterates shuffled example batches from big-SGF lines.
+
+    Two modes:
+
+    - per-batch (default): every batch replays ``batch_size //
+      positions_per_game`` fresh games on device and draws
+      ``positions_per_game`` value-weighted positions from each.
+    - banked (``bank_games > 0``): ONE device replay over ``bank_games``
+      games builds a device-resident example bank (pre-augmentation
+      features + labels); batches then just gather rows and apply the
+      random D8 augmentation / history dropout per draw.  This amortizes
+      the sequential replay scan — by far the dominant input cost on TPU —
+      across the whole training segment, the way shuffled-window pipelines
+      do, at the cost of positions being fixed for the bank's lifetime.
+    """
 
     def __init__(self, lines: list[str], batch_size: int, seed: int = 0,
                  history_len: int = 16, augment: bool = True,
                  ladder_features: bool = False, lz_history: bool = False,
-                 use_native: bool | None = None, feature_set: str = "v1"):
+                 use_native: bool | None = None, feature_set: str = "v1",
+                 positions_per_game: int = 1, bank_games: int = 0):
         self.ladder_features = ladder_features
         self.lz_history = lz_history
         self.feature_set = feature_set
+        if lz_history:
+            positions_per_game = 1  # the history ring is single-target
+            bank_games = 0
+        while batch_size % positions_per_game:
+            positions_per_game -= 1  # largest divisor of the batch size
+        self.positions_per_game = positions_per_game
+        self.bank_games = bank_games
+        self._bank = None
         if use_native is None:
             from .. import native
             use_native = native.available()
@@ -152,58 +176,83 @@ class ExampleSource:
         self._key = jax.random.PRNGKey(seed)
 
     def batches(self, num_batches: int):
+        if self.bank_games:
+            yield from self._banked_batches(num_batches)
+            return
+        g = self.batch_size // self.positions_per_game
         for _ in range(num_batches):
-            if self.use_native:
-                yield self._make_batch_native()
-            else:
-                idx = self.rng.integers(0, len(self.games), self.batch_size)
-                yield self._make_batch([self.games[i] for i in idx])
+            moves, targets, komi, labels = self._sample_arrays(g)
+            self._key, sub = jax.random.split(self._key)
+            yield _device_batch(
+                jnp.asarray(moves), jnp.asarray(targets), jnp.asarray(komi),
+                {key: jnp.asarray(v) for key, v in labels.items()},
+                sub, self.history_len, self.augment, self.ladder_features,
+                self.lz_history, self.feature_set)
 
-    def _make_batch_native(self):
-        from .. import native
+    def _banked_batches(self, num_batches: int):
         b = self.batch_size
-        idx = self.rng.integers(0, len(self.lines), b)
-        out = native.extract_batch([self.lines[i] for i in idx],
-                                   seed=int(self.rng.integers(1, 2**62)))
-        t_max = int(out["num_moves"].max())
-        t_max = ((t_max + 127) // 128) * 128
-        labels = dict(policy=out["policy"], value=out["value"],
-                      ownership=out["ownership"],
-                      has_ownership=out["has_ownership"])
-        self._key, sub = jax.random.split(self._key)
-        return _device_batch(
-            jnp.asarray(out["moves"][:, :t_max]), jnp.asarray(out["targets"]),
-            jnp.asarray(out["komi"]),
-            {k: jnp.asarray(v) for k, v in labels.items()},
-            sub, self.history_len, self.augment, self.ladder_features,
-            self.lz_history, self.feature_set)
+        for _ in range(num_batches):
+            if self._bank is None:
+                moves, targets, komi, labels = \
+                    self._sample_arrays(self.bank_games)
+                self._bank = _device_batch(
+                    jnp.asarray(moves), jnp.asarray(targets),
+                    jnp.asarray(komi),
+                    {key: jnp.asarray(v) for key, v in labels.items()},
+                    self._key, self.history_len, False,
+                    self.ladder_features, False, self.feature_set)
+            feats, labels = self._bank
+            idx = jnp.asarray(
+                self.rng.integers(0, feats.shape[0], b), jnp.int32)
+            self._key, sub = jax.random.split(self._key)
+            yield _bank_batch(feats, labels, idx, sub, self.augment,
+                              self.feature_set)
 
-    def _make_batch(self, games: list[ParsedGame]):
-        b = self.batch_size
-        t_max = max(len(g.moves) for g in games)
+    def _sample_arrays(self, g: int):
+        """Host arrays for ``g`` games x K positions: (moves int32[G, T],
+        targets int32[G, K], komi f32[G], labels dict of [G*K, ...])."""
+        k = self.positions_per_game
+        if self.use_native:
+            from .. import native
+            idx = self.rng.integers(0, len(self.lines), g)
+            lines = [self.lines[i] for i in idx]
+            # K independent value-weighted position draws per game: one
+            # device replay serves K examples per game (states_at_multi)
+            outs = [native.extract_batch(
+                lines, seed=int(self.rng.integers(1, 2**62)))
+                for _ in range(k)]
+            out = outs[0]
+            t_max = int(out["num_moves"].max())
+            t_max = ((t_max + 127) // 128) * 128
+            targets = np.stack([o["targets"] for o in outs], axis=1)
+            label_of = lambda key: np.stack(
+                [o[key] for o in outs], axis=1).reshape(
+                    (g * k,) + out[key].shape[1:])
+            labels = {key: label_of(key) for key in
+                      ("policy", "value", "ownership", "has_ownership")}
+            return out["moves"][:, :t_max], targets, out["komi"], labels
+
+        games = [self.games[i]
+                 for i in self.rng.integers(0, len(self.games), g)]
+        t_max = max(len(gm.moves) for gm in games)
         t_max = ((t_max + 127) // 128) * 128
-        moves = np.full((b, t_max), engine.PASS, np.int32)
-        targets = np.zeros(b, np.int32)
-        komi = np.zeros(b, np.float32)
-        labels = dict(policy=np.zeros((b, 362), np.float32),
-                      value=np.zeros(b, np.float32),
-                      ownership=np.zeros((b, 361), np.float32),
-                      has_ownership=np.zeros(b, np.float32))
-        for row, g in enumerate(games):
-            pos = choose_position(g, self.rng)
-            moves[row, :len(g.moves)] = g.moves
-            targets[row] = pos
-            komi[row] = g.komi
-            ex = make_labels(g, pos)
-            for k in labels:
-                labels[k][row] = ex[k]
-        self._key, sub = jax.random.split(self._key)
-        feats, labels = _device_batch(
-            jnp.asarray(moves), jnp.asarray(targets), jnp.asarray(komi),
-            {k: jnp.asarray(v) for k, v in labels.items()},
-            sub, self.history_len, self.augment, self.ladder_features,
-            self.lz_history, self.feature_set)
-        return feats, labels
+        moves = np.full((g, t_max), engine.PASS, np.int32)
+        targets = np.zeros((g, k), np.int32)
+        komi = np.zeros(g, np.float32)
+        labels = dict(policy=np.zeros((g * k, 362), np.float32),
+                      value=np.zeros(g * k, np.float32),
+                      ownership=np.zeros((g * k, 361), np.float32),
+                      has_ownership=np.zeros(g * k, np.float32))
+        for row, gm in enumerate(games):
+            moves[row, :len(gm.moves)] = gm.moves
+            komi[row] = gm.komi
+            for j in range(k):
+                pos = choose_position(gm, self.rng)
+                targets[row, j] = pos
+                ex = make_labels(gm, pos)
+                for key in labels:
+                    labels[key][row * k + j] = ex[key]
+        return moves, targets, komi, labels
 
 
 @functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
@@ -213,17 +262,33 @@ def _device_batch(moves, targets, komi, labels, rng, history_len, augment,
     """Replay -> features -> random D8 augmentation + history dropout.
 
     With ``lz_history`` the labels dict gains an ``lz_features`` entry
-    ([B,19,19,18] leela-zero planes) for distillation teachers."""
+    ([B,19,19,18] leela-zero planes) for distillation teachers.
+
+    ``targets`` may be int32[G] (one example per replayed game) or
+    int32[G, K] (K examples per replay — the batch is G*K examples in
+    game-major order, matching the host-side label layout)."""
     if lz_history:
+        if targets.ndim == 2:
+            targets = targets[:, 0]
         states, hist = states_and_stone_history_at(moves, targets, komi,
                                                    history_len)
         labels = dict(labels,
                       lz_features=jax.vmap(lz_features)(states, hist))
+    elif targets.ndim == 2:
+        g, k = targets.shape
+        states = states_at_multi(moves, targets, komi, history_len)
+        states = jax.tree_util.tree_map(
+            lambda x: x.reshape((g * k,) + x.shape[2:]), states)
     else:
         states = states_at(moves, targets, komi, history_len)
     feats = features.extract_batch(states, feature_set, ladder_features)
     if not augment:
         return feats, labels
+    return _augment(feats, labels, rng, feature_set)
+
+
+def _augment(feats, labels, rng, feature_set):
+    """Random per-example D8 symmetry + 5% history-plane dropout."""
     b = feats.shape[0]
     k_sym, k_hist = jax.random.split(rng)
     sym = jax.random.randint(k_sym, (b,), 0, 8)
@@ -251,3 +316,14 @@ def _device_batch(moves, targets, komi, labels, rng, history_len, augment,
         feats = jnp.where(drop[:, None, None, None],
                           feats * hist_mask, feats)
     return feats, labels
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _bank_batch(bank_feats, bank_labels, idx, rng, augment, feature_set):
+    """Gather one batch from the device-resident example bank, then apply
+    the same per-draw augmentation as the per-batch path."""
+    feats = jnp.take(bank_feats, idx, axis=0)
+    labels = {k: jnp.take(v, idx, axis=0) for k, v in bank_labels.items()}
+    if not augment:
+        return feats, labels
+    return _augment(feats, labels, rng, feature_set)

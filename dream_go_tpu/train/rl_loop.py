@@ -22,6 +22,7 @@ import dataclasses
 import os
 import re
 import sys
+import time
 
 import jax
 
@@ -50,6 +51,10 @@ class RLLoopConfig:
     generations: int = 10
     games_per_generation: int = 128
     train_steps_per_generation: int = 256
+    positions_per_game: int = 8         # examples per replayed game per batch
+    ex_it_batch: int = 256              # positions per ex-it search program
+    bank_games: int = 1024              # games per example bank (0: per-batch
+    #                                     replay; see ExampleSource)
     replay_window_games: int = 4096
     balance: bool = True
     use_search: bool = False            # False: policy-play (+ ex-it)
@@ -125,11 +130,13 @@ def _run_generations(trainer: Trainer, model_cfg: ModelConfig,
         sp_cfg = dataclasses.replace(
             selfplay_cfg, num_games=loop_cfg.games_per_generation)
 
+        t0 = time.monotonic()
         if loop_cfg.use_search:
             from ..selfplay.search_play import search_self_play
             games = search_self_play(predictor, sp_cfg, search_cfg,
                                      seed=loop_cfg.seed + gen,
                                      sharding=actor_sharding)
+            t_play, t_exit = time.monotonic() - t0, 0.0
         else:
             from ..selfplay.policy import PolicyPlayer, policy_self_play
             games = policy_self_play(
@@ -137,28 +144,37 @@ def _run_generations(trainer: Trainer, model_cfg: ModelConfig,
                              ladder_features=sp_cfg.ladder_features),
                 sp_cfg, seed=loop_cfg.seed + gen,
                 sharding=actor_sharding)
+            t_play = time.monotonic() - t0
+            t_exit = 0.0
             if loop_cfg.ex_it:
                 from ..selfplay.reanalyze import ex_it as run_ex_it
                 games = run_ex_it(games, predictor, search_cfg,
                                   num_sims=selfplay_cfg.num_rollout,
                                   fraction=selfplay_cfg.ex_it_fraction,
-                                  seed=loop_cfg.seed + gen)
+                                  seed=loop_cfg.seed + gen,
+                                  position_batch=loop_cfg.ex_it_batch)
+                t_exit = time.monotonic() - t0 - t_play
 
         replay.extend(games)
         pool = balance_games(list(replay)) if loop_cfg.balance \
             else list(replay)
         log(f"gen {gen}: {len(games)} games, replay {len(replay)}, "
-            f"training pool {len(pool)}")
+            f"training pool {len(pool)} "
+            f"[play {t_play:.0f}s, ex-it {t_exit:.0f}s]")
 
+        t1 = time.monotonic()
         source = ExampleSource(pool, batch_size=train_cfg.batch_size,
                                seed=loop_cfg.seed + gen,
-                               ladder_features=sp_cfg.ladder_features)
+                               ladder_features=sp_cfg.ladder_features,
+                               positions_per_game=loop_cfg.positions_per_game,
+                               bank_games=loop_cfg.bank_games)
         metrics = trainer.fit(source,
                               loop_cfg.train_steps_per_generation,
                               log_every=0)
         log(f"gen {gen}: loss {metrics.get('loss', float('nan')):.4f} "
             f"top1 {metrics.get('policy_top1', 0.0):.3f} "
-            f"lr {trainer.scheduler.learning_rate:.2e}")
+            f"lr {trainer.scheduler.learning_rate:.2e} "
+            f"[train {time.monotonic() - t1:.0f}s]")
 
         if loop_cfg.out_dir:
             os.makedirs(loop_cfg.out_dir, exist_ok=True)

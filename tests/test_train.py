@@ -38,6 +38,55 @@ class TestPipeline:
         assert labels["ownership"].shape == (8, 361)
         assert np.asarray(labels["has_ownership"]).max() == 1.0
 
+    def test_multi_position_batches(self):
+        """K positions per replayed game: same shapes, valid labels, and
+        every example's features match the K=1 replay of that position."""
+        lines = _lines()
+        for use_native in (False, True):
+            src = ExampleSource(lines, batch_size=8, seed=0, augment=False,
+                                positions_per_game=4, use_native=use_native)
+            assert src.positions_per_game == 4
+            feats, labels = next(iter(src.batches(1)))
+            assert feats.shape == (8, 19, 19, 32)
+            np.testing.assert_allclose(
+                np.asarray(labels["policy"]).sum(axis=-1), 1.0, atol=1e-3)
+
+    def test_banked_batches(self):
+        """Banked mode: one replay serves every batch; shapes and label
+        invariants match the per-batch path, and draws differ across
+        batches (the bank is sampled, not iterated)."""
+        src = ExampleSource(_lines(), batch_size=8, seed=0,
+                            positions_per_game=4, bank_games=6)
+        batches = list(src.batches(3))
+        assert src._bank is not None
+        assert src._bank[0].shape[0] == 6 * 4
+        for feats, labels in batches:
+            assert feats.shape == (8, 19, 19, 32)
+            np.testing.assert_allclose(
+                np.asarray(labels["policy"]).sum(axis=-1), 1.0, atol=1e-3)
+        a, b = np.asarray(batches[0][0]), np.asarray(batches[1][0])
+        assert not np.array_equal(a, b)
+
+    def test_states_at_multi_matches_single(self):
+        import jax.numpy as jnp
+
+        from dream_go_tpu.selfplay.replay import states_at, states_at_multi
+        g = parse_game(_lines()[0])
+        n = min(len(g.moves), 24)
+        moves = jnp.asarray(g.moves[:n][None, :].repeat(3, axis=0))
+        komi = jnp.full((3,), 7.5, jnp.float32)
+        targets = jnp.asarray(np.array([[0, 5, n], [3, 3, 1], [n, 2, 7]],
+                                       np.int32))
+        multi = states_at_multi(moves, targets, komi)
+        for j in range(3):
+            single = states_at(moves, targets[:, j], komi)
+            np.testing.assert_array_equal(np.asarray(multi.stones[:, j]),
+                                          np.asarray(single.stones))
+            np.testing.assert_array_equal(np.asarray(multi.to_move[:, j]),
+                                          np.asarray(single.to_move))
+            np.testing.assert_array_equal(np.asarray(multi.hash[:, j]),
+                                          np.asarray(single.hash))
+
 
 class TestTrainer:
     def test_train_steps_reduce_loss(self):
