@@ -90,6 +90,10 @@ def main(argv=None):
     parser.add_argument("--bank-games", type=int, default=1024,
                         help="--loop: games replayed into the per-generation "
                              "example bank (0 disables banking)")
+    parser.add_argument("--continuous", action="store_true",
+                        help="--self-play: continuous batching (finished "
+                             "games are replaced by fresh ones; --num-games "
+                             "is the live batch width)")
     parser.add_argument("--ex-it", action="store_true")
     parser.add_argument("--num-rollout", type=int, default=1600)
     parser.add_argument("--num-games", type=int, default=128)
@@ -99,6 +103,13 @@ def main(argv=None):
     parser.add_argument("--batch-size", type=int, default=2048)
     parser.add_argument("--softmax-temperature", type=float, default=1.0)
     parser.add_argument("--komi", type=float, default=7.5)
+    parser.add_argument("--ladder-features", action="store_true",
+                        help="compute exact ladder planes 30/31 (reference "
+                             "default; off here unless the net was trained "
+                             "with them — see ARCHITECTURE.md)")
+    parser.add_argument("--max-moves", type=int, default=None,
+                        help="self-play: cap game length (default: engine "
+                             "limit, 722 as in the reference)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--steps", type=int, default=1000)
     args = parser.parse_args(argv)
@@ -154,9 +165,35 @@ def _run(args):
             with open(path) as fh:
                 lines.extend(l.strip() for l in fh if l.strip())
         fn = run_ex_it if args.ex_it else run_reanalyze
-        for line in fn(lines, predictor, SearchConfig(),
+        for line in fn(lines, predictor,
+                       SearchConfig(ladder_features=args.ladder_features),
                        num_sims=args.num_rollout, seed=args.seed):
             print(line)
+        return
+
+    if args.self_play and args.continuous and args.num_rollout > 1:
+        # one continuous-batching run produces the whole target: finished
+        # games are replaced by fresh ones so the device batch stays full
+        predictor = _load_predictor(args)
+        total = args.self_play
+        from .selfplay.search_play import search_self_play_continuous
+        extra = {} if args.max_moves is None else \
+            {"max_moves": args.max_moves}
+        cfg = SelfPlayConfig(num_games=total, num_rollout=args.num_rollout,
+                             komi=args.komi, ex_it=args.ex_it, **extra)
+        games = search_self_play_continuous(
+            predictor, cfg,
+            SearchConfig(num_rollout=args.num_rollout,
+                         ladder_features=args.ladder_features),
+            seed=args.seed, batch=min(total, args.num_games))
+        if args.ex_it:
+            from .selfplay.reanalyze import ex_it as run_ex_it
+            games = run_ex_it(
+                games, predictor,
+                SearchConfig(ladder_features=args.ladder_features),
+                num_sims=args.num_rollout, seed=args.seed)
+        for line in games:
+            print(line, flush=True)
         return
 
     if args.self_play or args.policy_play:
@@ -166,8 +203,10 @@ def _run(args):
         batch = min(total, args.num_games)
         while done < total:
             n = min(batch, total - done)
+            extra = {} if args.max_moves is None else \
+                {"max_moves": args.max_moves}
             cfg = SelfPlayConfig(num_games=n, num_rollout=args.num_rollout,
-                                 komi=args.komi, ex_it=args.ex_it)
+                                 komi=args.komi, ex_it=args.ex_it, **extra)
             if args.policy_play or args.num_rollout <= 1:
                 from .selfplay.policy import PolicyPlayer, policy_self_play
                 games = policy_self_play(
@@ -176,13 +215,15 @@ def _run(args):
                 from .selfplay.search_play import search_self_play
                 games = search_self_play(
                     predictor, cfg,
-                    SearchConfig(num_rollout=args.num_rollout),
+                    SearchConfig(num_rollout=args.num_rollout,
+                                 ladder_features=args.ladder_features),
                     seed=args.seed + done)
             if args.ex_it:
                 from .selfplay.reanalyze import ex_it as run_ex_it
-                games = run_ex_it(games, predictor, SearchConfig(),
-                                  num_sims=args.num_rollout,
-                                  seed=args.seed + done)
+                games = run_ex_it(
+                    games, predictor,
+                    SearchConfig(ladder_features=args.ladder_features),
+                    num_sims=args.num_rollout, seed=args.seed + done)
             for line in games:
                 print(line, flush=True)
             done += n
@@ -192,8 +233,9 @@ def _run(args):
     # default: GTP server
     from .gtp import GtpEngine, run_server
     predictor = _load_predictor(args)
-    run_server(GtpEngine(predictor, SearchConfig(),
-                         num_rollout=args.num_rollout, ponder=args.ponder))
+    run_server(GtpEngine(
+        predictor, SearchConfig(ladder_features=args.ladder_features),
+        num_rollout=args.num_rollout, ponder=args.ponder))
 
 
 def _rl_loop(args):
@@ -207,8 +249,10 @@ def _rl_loop(args):
                     num_samples=args.num_samples),
         TrainConfig(batch_size=args.batch_size),
         SelfPlayConfig(num_games=args.num_games,
-                       num_rollout=args.num_rollout, komi=args.komi),
-        SearchConfig(num_rollout=args.num_rollout),
+                       num_rollout=args.num_rollout, komi=args.komi,
+                       ladder_features=args.ladder_features),
+        SearchConfig(num_rollout=args.num_rollout,
+                     ladder_features=args.ladder_features),
         RLLoopConfig(generations=args.loop,
                      games_per_generation=args.num_games,
                      ex_it=args.ex_it, out_dir=args.out_dir,
@@ -291,7 +335,10 @@ def _trainer_procedures(args):
                            trainer.state.batch_stats))
         return
     source = ExampleSource(lines, batch_size=args.batch_size, seed=args.seed,
-                           lz_history=bool(args.lz_weights))
+                           ladder_features=args.ladder_features,
+                           lz_history=bool(args.lz_weights),
+                           positions_per_game=args.positions_per_game,
+                           bank_games=args.bank_games)
     if args.lz_weights:
         from .train.distill import DistillationSource
         source = DistillationSource(source, args.lz_weights)

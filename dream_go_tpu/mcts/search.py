@@ -832,11 +832,15 @@ def search_with_reuse(states: GoState, prev_trees: Tree,
                       prev_actions: jax.Array, predictor: Predictor,
                       rng: jax.Array, cfg: SearchConfig, num_sims: int,
                       use_scoring: jax.Array | None = None,
-                      budget: jax.Array | None = None) -> Tree:
+                      budget: jax.Array | None = None,
+                      fresh_mask: jax.Array | None = None) -> Tree:
     """Search reusing each game's subtree under the move just played.
 
     ``prev_trees`` must have capacity >= num_sims + largest reused subtree;
     allocate with ``search(..., capacity=2*num_sims)`` style via init_trees.
+    ``fresh_mask`` (bool[B]) forces a fresh tree for slots whose game was
+    just replaced (continuous self-play batching) — their previous tree
+    belongs to a different game.
     """
     batch = states.stones.shape[0]
     k_fresh, k_noise = jax.random.split(rng)
@@ -845,6 +849,8 @@ def search_with_reuse(states: GoState, prev_trees: Tree,
     reused, valid = jax.vmap(
         lambda t, a, r: reroot(t, a, r, cfg)
     )(prev_trees, prev_actions, jax.random.split(k_noise, batch))
+    if fresh_mask is not None:
+        valid = valid & ~fresh_mask
 
     def pick(a, b):
         v = valid.reshape((batch,) + (1,) * (a.ndim - 1))

@@ -23,6 +23,8 @@ env step.  Reference semantics preserved:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -69,13 +71,14 @@ def _build_search_move_fn(predictor: Predictor, search_cfg: SearchConfig,
     @jax.jit
     def reuse_move_fn(states: engine.GoState, trees: S.Tree,
                       prev_move: jax.Array, rng: jax.Array,
-                      budget: jax.Array):
+                      budget: jax.Array, fresh_mask: jax.Array):
         scorable = jax.vmap(bn.is_scorable)(states)
         use_scoring = ~scorable & ~states.done
         k_search, k_move = jax.random.split(rng)
         trees = S.search_with_reuse(states, trees, prev_move, predictor,
                                     k_search, search_cfg, num_sims,
-                                    use_scoring, budget=budget)
+                                    use_scoring, budget=budget,
+                                    fresh_mask=fresh_mask)
         return finish(states, trees, k_move)
 
     if not tree_reuse:
@@ -131,7 +134,8 @@ def search_self_play(predictor: Predictor, cfg: SelfPlayConfig,
                 states, sub, jbudget)
         else:
             states, trees, move, value, targets = reuse_fn(
-                states, trees, prev_move, sub, jbudget)
+                states, trees, prev_move, sub, jbudget,
+                jnp.zeros(cfg.num_games, bool))
         prev_move = move
         value = np.asarray(value)
         if cfg.winrate_rollouts:
@@ -160,3 +164,137 @@ def search_self_play(predictor: Predictor, cfg: SelfPlayConfig,
             "".join(sgf_moves), komi=float(komis[g]),
             territory=territory[g]))
     return games
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _reset_slots(states: engine.GoState, mask: jax.Array,
+                 new_komi: jax.Array, history_len: int) -> engine.GoState:
+    """Replace masked slots with fresh initial states (continuous refill)."""
+    b = states.stones.shape[0]
+    fresh = engine.new_states(b, komi=0.0,
+                              history_len=history_len).replace(komi=new_komi)
+    pick = lambda f, o: jnp.where(
+        mask.reshape((b,) + (1,) * (o.ndim - 1)), f, o)
+    return jax.tree_util.tree_map(pick, fresh, states)
+
+
+def search_self_play_continuous(predictor: Predictor, cfg: SelfPlayConfig,
+                                search_cfg: SearchConfig | None = None,
+                                seed: int = 0, batch: int = 256,
+                                refill_every: int = 8,
+                                sym_average: bool = False,
+                                sharding=None) -> list[str]:
+    """Full-search self-play with continuous batching: finished games are
+    replaced by fresh ones so the device batch stays full of live games.
+
+    The lockstep driver (`search_self_play`) runs its whole batch until the
+    LAST game ends, so late in a batch most slots ride along finished — the
+    long-tail waste the reference avoids with per-game worker threads
+    (`self_play.rs:461-499` pulls a new game per thread as each ends).
+    This is the TPU-native equivalent of that worker-pool behavior: every
+    ``refill_every`` moves, finished slots are flushed (scored, recorded)
+    and reset to fresh games with fresh trees (``fresh_mask`` in
+    `search_with_reuse`) and reset winrate budgets.  Plays until
+    ``cfg.num_games`` games have completed and returns their SGF lines —
+    the sustained-throughput (games/s) mode used for production self-play
+    and the bench.
+    """
+    search_cfg = search_cfg or SearchConfig()
+    if sym_average:
+        predictor = symmetrize(predictor)
+    rng_np = np.random.default_rng(seed)
+    komi0 = random_komi(batch, seed) if cfg.random_komi \
+        else np.full(batch, cfg.komi, np.float32)
+    states = engine.new_states(batch, komi=cfg.komi,
+                               history_len=cfg.history_len)
+    states = states.replace(komi=jnp.asarray(komi0))
+    if sharding is not None:
+        states = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), states)
+    first_fn, reuse_fn = _build_search_move_fn(
+        predictor, search_cfg, cfg.num_rollout, cfg.temperature_moves,
+        tree_reuse=True)
+    key = jax.random.PRNGKey(seed)
+
+    winrate = np.full((batch, 2), 0.5, np.float32)
+    rows = np.arange(batch)
+    records = []                 # time-major, as in the lockstep driver
+    rec_base = 0                 # global index of records[0] (prefix trim)
+    episode_start = np.zeros(batch, np.int64)
+    fresh_mask = np.zeros(batch, bool)
+    games: list[str] = []
+    trees, prev_move = None, None
+    move_i = 0
+    # hard bound so a pathological predictor cannot spin forever
+    max_total = cfg.max_moves * (cfg.num_games + batch)
+
+    def flush_and_refill():
+        nonlocal states, records, rec_base
+        done = np.asarray(states.done) | (
+            np.asarray(states.move_count) >= cfg.max_moves)
+        if not done.any():
+            return
+        territory = np.asarray(_final_territory(states))
+        komis = np.asarray(states.komi)
+        for g in np.flatnonzero(done):
+            sgf_moves = []
+            for rec in records[int(episode_start[g]) - rec_base:]:
+                active, move, value, to_move, targets, budget = rec
+                if not active[g]:
+                    break
+                sgf_moves.append(Played(
+                    to_move=int(to_move[g]), point=int(move[g]),
+                    value=float(value[g]), num_rollout=int(budget[g]),
+                    softmax=targets[g]).to_sgf())
+            games.append(game_result_sgf(
+                "".join(sgf_moves), komi=float(komis[g]),
+                territory=territory[g]))
+        refill_komi = np.where(
+            done,
+            random_komi(batch, int(rng_np.integers(1, 2**31)))
+            if cfg.random_komi else np.full(batch, cfg.komi, np.float32),
+            komis).astype(np.float32)
+        states = _reset_slots(states, jnp.asarray(done),
+                              jnp.asarray(refill_komi), cfg.history_len)
+        winrate[done] = 0.5
+        episode_start[done] = rec_base + len(records)
+        fresh_mask[done] = True
+        # drop flushed record prefixes to bound host memory
+        lo = int(episode_start.min())
+        if lo > rec_base:
+            records = records[lo - rec_base:]
+            rec_base = lo
+
+    while len(games) < cfg.num_games and move_i < max_total:
+        key, sub = jax.random.split(key)
+        active = ~np.asarray(states.done)
+        to_move = np.asarray(states.to_move)
+        if cfg.winrate_rollouts:
+            w = winrate[rows, np.maximum(to_move, 1) - 1]
+            m = np.maximum(4.0 * w * (1.0 - w), 0.1)
+            budget = (m * cfg.num_rollout).astype(np.int32)
+        else:
+            budget = np.full(batch, cfg.num_rollout, np.int32)
+        jbudget = jnp.asarray(budget)
+        if trees is None:
+            states, trees, move, value, targets = first_fn(
+                states, sub, jbudget)
+        else:
+            states, trees, move, value, targets = reuse_fn(
+                states, trees, prev_move, sub, jbudget,
+                jnp.asarray(fresh_mask))
+        fresh_mask[:] = False
+        prev_move = move
+        value = np.asarray(value)
+        if cfg.winrate_rollouts:
+            col = np.maximum(to_move, 1) - 1
+            upd = winrate[rows, col] - cfg.winrate_momentum * (
+                winrate[rows, col] - value)
+            winrate[rows, col] = np.where(active, upd, winrate[rows, col])
+        records.append((active, np.asarray(move), value, to_move,
+                        np.asarray(targets, dtype=np.float16), budget))
+        move_i += 1
+        if move_i % refill_every == 0:
+            flush_and_refill()
+
+    return games[:cfg.num_games]

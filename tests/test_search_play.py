@@ -2,7 +2,8 @@
 
 from dream_go_tpu.config import SearchConfig, SelfPlayConfig
 from dream_go_tpu.mcts import predictor as P
-from dream_go_tpu.selfplay.search_play import search_self_play
+from dream_go_tpu.selfplay.search_play import (search_self_play,
+                                               search_self_play_continuous)
 from dream_go_tpu.utils import sgf
 
 
@@ -20,3 +21,26 @@ def test_search_self_play_records_tv_and_policy():
             assert mv.policy is not None      # P[...] present
             assert mv.policy.shape == (362,)
             assert mv.value is not None
+
+
+def test_continuous_batching_produces_legal_complete_games():
+    """Continuous refill: a 3-slot batch completes 7 games; every game is a
+    fresh episode (legal from the empty board under the oracle, no state
+    leaking across slot reuse) with full annotations."""
+    from dream_go_tpu.go.reference import PyBoard
+
+    cfg = SelfPlayConfig(num_games=7, num_rollout=8, max_moves=12,
+                         winrate_rollouts=False)
+    games = search_self_play_continuous(
+        P.random_predictor(), cfg, SearchConfig(num_rollout=8), seed=3,
+        batch=3, refill_every=4)
+    assert len(games) == 7
+    for line in games:
+        parsed = sgf.parse_line(line)
+        assert parsed is not None
+        assert 1 <= len(parsed.moves) <= cfg.max_moves
+        board = PyBoard()
+        for mv in parsed.moves:
+            assert board.is_legal(mv.color, mv.point), (mv.color, mv.point)
+            board.play(mv.point)
+            assert mv.policy is not None and mv.value is not None
