@@ -26,12 +26,17 @@ def _load_predictor(args):
         with open(args.weights) as fh:
             cfg, params = MP.load_json(fh.read())
         params = jax.tree_util.tree_map(jax.numpy.asarray, params)
+        if args.ladder_features is None:
+            # serving follows the net's input contract unless overridden
+            args.ladder_features = cfg.ladder_features
         return P.net_predictor(cfg, params, folded=True,
                                softmax_temp=args.softmax_temperature)
     # no weights: random-init net (useful for smoke tests / first generation)
     cfg = ModelConfig(num_channels=args.num_channels,
                       num_blocks=args.num_blocks,
                       num_samples=args.num_samples)
+    if args.ladder_features is None:
+        args.ladder_features = cfg.ladder_features
     params, stats = T.init_tower(cfg, jax.random.PRNGKey(0))
     return P.net_predictor(cfg, params, stats,
                            softmax_temp=args.softmax_temperature)
@@ -104,9 +109,16 @@ def main(argv=None):
     parser.add_argument("--softmax-temperature", type=float, default=1.0)
     parser.add_argument("--komi", type=float, default=7.5)
     parser.add_argument("--ladder-features", action="store_true",
-                        help="compute exact ladder planes 30/31 (reference "
-                             "default; off here unless the net was trained "
-                             "with them — see ARCHITECTURE.md)")
+                        default=None, dest="ladder_features",
+                        help="compute ladder planes 30/31 (the default, as "
+                             "in the reference; greedy single-line reader — "
+                             "see ARCHITECTURE.md).  Unset: follow the "
+                             "loaded net's input contract (the "
+                             "ladder_features:0 tensor of the weights JSON)")
+    parser.add_argument("--no-ladder-features", action="store_false",
+                        default=None, dest="ladder_features",
+                        help="skip ladder planes (faster; use for nets "
+                             "trained without them)")
     parser.add_argument("--max-moves", type=int, default=None,
                         help="self-play: cap game length (default: engine "
                              "limit, 722 as in the reference)")
@@ -180,7 +192,8 @@ def _run(args):
         extra = {} if args.max_moves is None else \
             {"max_moves": args.max_moves}
         cfg = SelfPlayConfig(num_games=total, num_rollout=args.num_rollout,
-                             komi=args.komi, ex_it=args.ex_it, **extra)
+                             komi=args.komi, ex_it=args.ex_it,
+                             ladder_features=args.ladder_features, **extra)
         games = search_self_play_continuous(
             predictor, cfg,
             SearchConfig(num_rollout=args.num_rollout,
@@ -206,11 +219,15 @@ def _run(args):
             extra = {} if args.max_moves is None else \
                 {"max_moves": args.max_moves}
             cfg = SelfPlayConfig(num_games=n, num_rollout=args.num_rollout,
-                                 komi=args.komi, ex_it=args.ex_it, **extra)
+                                 komi=args.komi, ex_it=args.ex_it,
+                                 ladder_features=args.ladder_features,
+                                 **extra)
             if args.policy_play or args.num_rollout <= 1:
                 from .selfplay.policy import PolicyPlayer, policy_self_play
                 games = policy_self_play(
-                    PolicyPlayer(predictor), cfg, seed=args.seed + done)
+                    PolicyPlayer(predictor,
+                                 ladder_features=args.ladder_features),
+                    cfg, seed=args.seed + done)
             else:
                 from .selfplay.search_play import search_self_play
                 games = search_self_play(
@@ -243,10 +260,14 @@ def _rl_loop(args):
                          TrainConfig)
     from .train.rl_loop import RLLoopConfig, run_rl_loop
 
+    if args.ladder_features is None:
+        args.ladder_features = ModelConfig.ladder_features
+
     run_rl_loop(
         ModelConfig(num_channels=args.num_channels,
                     num_blocks=args.num_blocks,
-                    num_samples=args.num_samples),
+                    num_samples=args.num_samples,
+                    ladder_features=args.ladder_features),
         TrainConfig(batch_size=args.batch_size),
         SelfPlayConfig(num_games=args.num_games,
                        num_rollout=args.num_rollout, komi=args.komi,
@@ -306,6 +327,8 @@ def _trainer_procedures(args):
     from .train.pipeline import ExampleSource
     from .train.train_loop import Trainer
 
+    if args.ladder_features is None:
+        args.ladder_features = ModelConfig.ladder_features
     tcfg = TrainConfig(batch_size=args.batch_size)
     data_path = args.start or args.resume or args.verify
     lines = None
@@ -319,7 +342,8 @@ def _trainer_procedures(args):
     else:
         mcfg = ModelConfig(num_channels=args.num_channels,
                            num_blocks=args.num_blocks,
-                           num_samples=args.num_samples)
+                           num_samples=args.num_samples,
+                           ladder_features=args.ladder_features)
         # fresh model: seed the policy bias with the data's log move
         # frequency (the reference's policy_offset_op, computed not shipped)
         policy_bias = None

@@ -110,7 +110,10 @@ class SearchConfig:
     root_symmetries: int = 1           # 8 => full_forward 8-symmetry root eval
     cutoff_percentile: float = 0.5     # choose.rs pruning percentile
     deterministic: bool = False
-    ladder_features: bool = False      # feature planes 31/32 (reference: on)
+    ladder_features: bool = True       # feature planes 31/32 (reference
+    #                                    always computes them); greedy
+    #                                    single-line reader by default
+    ladders_exact: bool = False        # full branching DFS (slow; parity)
     adaptive: bool = False             # EARLY-C chunked early termination
     feature_kernel: bool = False       # Pallas liberties-after kernel (TPU)
     step_kernel: bool = False          # Pallas env-step for leaf expansion
@@ -137,7 +140,7 @@ class SelfPlayConfig:
     komi: float = 7.5
     random_komi: bool = False          # lib.rs:210-224 komi distribution
     history_len: int = 64              # super-ko hash ring (SmallSet64 parity)
-    ladder_features: bool = False      # feature planes 31/32 (reference: on)
+    ladder_features: bool = True       # feature planes 31/32 (reference: on)
     winrate_rollouts: bool = True      # self_play.rs:232-241 budget scaling
     winrate_momentum: float = 0.2      # self_play.rs:36 MOMENTUM
 
@@ -151,6 +154,10 @@ class ModelConfig:
     num_samples: int = 8               # policy-head channels
     num_features: int = 32             # input planes (32 for v1, 18 for v2)
     feature_set: str = "v1"            # "v1" (default) or "v2"
+    ladder_features: bool = True       # input contract: were planes 30/31
+    #                                    populated when this net was trained?
+    #                                    (carried in the weights JSON so
+    #                                    serving auto-configures the search)
     compute_dtype: str = "bfloat16"
     remat: bool = False                # recompute residual-block activations
     #                                    in backward (recompute_grad.py:25-56

@@ -174,13 +174,10 @@ def _chase_step(stones, chain_id, color, attack_p):
     return st2, cid2, status, c1s, c2s
 
 
-def is_ladder_capture(stones, chain_id, color, p) -> jax.Array:
-    """bool: playing ``color`` at ``p`` starts a winning ladder chase.
-
-    Explicit-stack DFS over the reference's branch recursion
-    (`ladder.rs:53-119`): continue down the first branch, stack the second,
-    pop on a failed line; captured anywhere => True.
-    """
+def _chase(stones, chain_id, color, p, active, greedy: bool):
+    """DFS body shared by every ladder query; ``active=False`` lanes exit
+    immediately (they ride along in a pooled vmap, see
+    :func:`ladder_planes`)."""
 
     def cond(c):
         st, cid, attack, status, depth, sst, scid, sat, sp = c
@@ -189,6 +186,11 @@ def is_ladder_capture(stones, chain_id, color, p) -> jax.Array:
     def body(c):
         st, cid, attack, status, depth, sst, scid, sat, sp = c
         st2, cid2, s, c1, c2 = _chase_step(st, cid, color, attack)
+        if greedy:
+            # _chase_step orders (breathe-first, tight); take the tight
+            # line when both exist and drop the alternative.
+            c1 = jnp.where(c2 < NN, c2, c1)
+            c2 = jnp.int32(NN)
         cont = (s == 0) & (c1 < NN)
         fail = (s == 2) | ((s == 0) & (c1 >= NN))
 
@@ -212,19 +214,47 @@ def is_ladder_capture(stones, chain_id, color, p) -> jax.Array:
         return (st_n, cid_n, attack_n, status_n, depth + 1, sst, scid, sat,
                 sp)
 
-    init = (stones, chain_id, jnp.asarray(p, jnp.int32), jnp.int32(0),
+    if greedy:
+        # the stack is dead code (push is always False): zero-size it so the
+        # while carry stays small
+        stack_cap = 1
+    else:
+        stack_cap = STACK_CAP
+    init = (stones, chain_id, jnp.asarray(p, jnp.int32),
+            jnp.where(jnp.asarray(active), 0, 2).astype(jnp.int32),
             jnp.int32(0),
-            jnp.zeros((STACK_CAP, NN), stones.dtype),
-            jnp.zeros((STACK_CAP, NN), chain_id.dtype),
-            jnp.full((STACK_CAP,), NN, jnp.int32),
+            jnp.zeros((stack_cap, NN), stones.dtype),
+            jnp.zeros((stack_cap, NN), chain_id.dtype),
+            jnp.full((stack_cap,), NN, jnp.int32),
             jnp.int32(0))
     status = lax.while_loop(cond, body, init)[3]
     return status == 1
 
 
-def is_ladder_escape(stones, chain_id, color, p) -> jax.Array:
-    """bool: playing ``color`` at ``p`` escapes an atari via a failed ladder
-    for the opponent (`ladder.rs:136-178`)."""
+def is_ladder_capture(stones, chain_id, color, p,
+                      greedy: bool = False) -> jax.Array:
+    """bool: playing ``color`` at ``p`` starts a winning ladder chase.
+
+    Explicit-stack DFS over the reference's branch recursion
+    (`ladder.rs:53-119`): continue down the first branch, stack the second,
+    pop on a failed line; captured anywhere => True.
+
+    ``greedy`` chases only the tighter branch (the one-move lookahead that
+    leaves the defender fewest liberties) and never backtracks — a single
+    forced line, measured ≥99.9% agreement with the exact DFS
+    (`tools/measure_ladder_greedy.py`); it is the default for feature
+    planes because the branching search is compile- and memory-hostile on
+    TPU (see README "Known deviations").
+    """
+    return _chase(stones, chain_id, color, p, True, greedy)
+
+
+def _escape_jobs(stones, chain_id, color, p):
+    """Escape preparation shared by :func:`is_ladder_escape` and the pooled
+    planes: place ``color`` at ``p`` and return
+    ``(st2, cid2, feasible, attacks[4], playable[4])`` — the post-extension
+    board and the opponent counter-attack points that must ALL fail as
+    ladder captures (`ladder.rs:136-178`)."""
     color_c = jnp.asarray(color).astype(stones.dtype)
     opp = (OFFBOARD - jnp.asarray(color)).astype(stones.dtype)
 
@@ -241,27 +271,40 @@ def is_ladder_escape(stones, chain_id, color, p) -> jax.Array:
     cnt = libs_cnt2[jnp.clip(cid2[p], 0, NN)]
     feasible = connected & (cnt == 2)
 
-    # the opponent must fail to ladder-capture from every adjacent point
-    def check(k, safe):
-        q = jnp.asarray(NBR)[p][k]
-        ok = q < NN
-        q = jnp.minimum(q, NN - 1)
-        playable = ok & _valid_at(st2, point_libs2, opp, q)
-        captured = lax.cond(
-            playable,
-            lambda: is_ladder_capture(st2, cid2, opp, q),
-            lambda: jnp.bool_(False))
-        return safe & ~captured
-
-    safe = lax.fori_loop(0, 4, check, jnp.bool_(True))
-    return feasible & safe
+    attacks = jnp.minimum(nbr_p, NN - 1)
+    playable = (nbr_p < NN) & jax.vmap(
+        lambda q: _valid_at(st2, point_libs2, opp, q))(attacks)
+    return st2, cid2, feasible, attacks, playable
 
 
-def ladder_planes(state: GoState, max_candidates: int = 24):
+def is_ladder_escape(stones, chain_id, color, p,
+                     greedy: bool = False) -> jax.Array:
+    """bool: playing ``color`` at ``p`` escapes an atari via a failed ladder
+    for the opponent (`ladder.rs:136-178`): the opponent must fail to
+    ladder-capture from every playable adjacent point."""
+    opp = (OFFBOARD - jnp.asarray(color)).astype(stones.dtype)
+    st2, cid2, feasible, attacks, playable = _escape_jobs(
+        stones, chain_id, color, p)
+    captured = jax.vmap(
+        lambda q, ok: _chase(st2, cid2, opp, q, ok, greedy)
+    )(attacks, playable)
+    return feasible & ~jnp.any(captured)
+
+
+def ladder_planes(state: GoState, max_candidates: int = 24,
+                  greedy: bool = False, max_escapes: int = 8):
     """(capture[361] bool, escape[361] bool) for the player to move.
 
     Feature planes 31/32 (`features.rs:208-222`).  Candidates beyond
-    ``max_candidates`` per board are left unevaluated (False).
+    ``max_candidates`` (captures) / ``max_escapes`` (escapes) per board are
+    left unevaluated (False).
+
+    Every chase in the position runs as one lane of a SINGLE pooled DFS
+    vmap — capture candidates directly, each escape candidate as up to 4
+    counter-capture lanes on its post-extension board (all of which must
+    fail, `ladder.rs:136-178`).  One ``while_loop`` in the whole program
+    instead of one per cond-branch keeps XLA:TPU compile time sane, and the
+    formerly sequential escape checks ride the same lockstep iteration.
     """
     stones, chain_id = state.stones, state.chain_id
     color = state.to_move
@@ -275,33 +318,48 @@ def ladder_planes(state: GoState, max_candidates: int = 24):
     cap_cand = pseudo & jnp.any((nbr_st == opp) & (nbr_libs == 2), axis=1)
     esc_cand = pseudo & jnp.any((nbr_st == color) & (nbr_libs == 1), axis=1)
 
-    cand = cap_cand | esc_cand
-    order = jnp.where(cand, IOTA, NN)
-    slots = jnp.sort(order)[:max_candidates]             # candidate points
+    cap_slots = jnp.sort(jnp.where(cap_cand, IOTA, NN))[:max_candidates]
+    esc_slots = jnp.sort(jnp.where(esc_cand, IOTA, NN))[:max_escapes]
+    cap_ok = cap_slots < NN
+    esc_ok = esc_slots < NN
+    cap_pts = jnp.minimum(cap_slots, NN - 1)
+    esc_pts = jnp.minimum(esc_slots, NN - 1)
 
-    def eval_slot(q):
-        valid = q < NN
-        qc = jnp.minimum(q, NN - 1)
-        cap = lax.cond(
-            valid & cap_cand[qc],
-            lambda: is_ladder_capture(stones, chain_id, color, qc),
-            lambda: jnp.bool_(False))
-        esc = lax.cond(
-            valid & esc_cand[qc],
-            lambda: is_ladder_escape(stones, chain_id, color, qc),
-            lambda: jnp.bool_(False))
-        return cap, esc
+    # escape jobs: post-extension board + up to 4 counter-attack lanes each
+    est, ecid, feasible, eatk, eplay = jax.vmap(
+        lambda q: _escape_jobs(stones, chain_id, color, q))(esc_pts)
+    feasible = feasible & esc_ok
+    eplay = eplay & feasible[:, None]
 
-    caps, escs = jax.vmap(eval_slot)(slots)
-    capture = jnp.zeros(NN, bool).at[jnp.minimum(slots, NN - 1)].max(
-        caps & (slots < NN))
-    escape = jnp.zeros(NN, bool).at[jnp.minimum(slots, NN - 1)].max(
-        escs & (slots < NN))
+    # one job pool: [max_candidates] captures ++ [max_escapes*4] escapes
+    j_st = jnp.concatenate([
+        jnp.broadcast_to(stones, (max_candidates, NN)),
+        jnp.repeat(est, 4, axis=0)])
+    j_cid = jnp.concatenate([
+        jnp.broadcast_to(chain_id, (max_candidates, NN)),
+        jnp.repeat(ecid, 4, axis=0)])
+    j_color = jnp.concatenate([
+        jnp.broadcast_to(color, (max_candidates,)),
+        jnp.broadcast_to(opp, (max_escapes * 4,))])
+    j_attack = jnp.concatenate([cap_pts, eatk.reshape(-1)])
+    j_active = jnp.concatenate([cap_ok, eplay.reshape(-1)])
+
+    captured = jax.vmap(
+        lambda st, cid, c, a, ok: _chase(st, cid, c, a, ok, greedy)
+    )(j_st, j_cid, j_color, j_attack, j_active)
+
+    caps = captured[:max_candidates]
+    esc_failed = jnp.any(
+        captured[max_candidates:].reshape(max_escapes, 4), axis=1)
+    escs = feasible & ~esc_failed
+
+    capture = jnp.zeros(NN, bool).at[cap_pts].max(caps & cap_ok)
+    escape = jnp.zeros(NN, bool).at[esc_pts].max(escs & esc_ok)
     return capture, escape
 
 
 def ladder_planes_batch(states: GoState, chunk: int = 128,
-                        max_candidates: int = 24):
+                        max_candidates: int = 24, greedy: bool = False):
     """Batched :func:`ladder_planes` with bounded memory.
 
     The per-candidate DFS stacks are live for every candidate of every
@@ -310,7 +368,7 @@ def ladder_planes_batch(states: GoState, chunk: int = 128,
     resident while staying one compiled program.
     """
     b = states.stones.shape[0]
-    one = lambda s: ladder_planes(s, max_candidates)
+    one = lambda s: ladder_planes(s, max_candidates, greedy)
     if b <= chunk or b % chunk != 0:
         return jax.vmap(one)(states)
     stacked = jax.tree_util.tree_map(

@@ -628,7 +628,8 @@ def run_search(trees: Tree, predictor: Predictor, cfg: SearchConfig,
                 from ..go.ladder import ladder_planes_batch
 
                 unpacked = unpack_rows(leaf_states)
-                capt, esc = ladder_planes_batch(unpacked)
+                capt, esc = ladder_planes_batch(
+                    unpacked, greedy=not cfg.ladders_exact)
                 feats = feats.at[..., 30].set(
                     capt.astype(jnp.float32).reshape(b, 19, 19))
                 feats = feats.at[..., 31].set(

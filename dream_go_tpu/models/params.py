@@ -109,6 +109,12 @@ def dump_json(cfg: ModelConfig, params, batch_stats) -> str:
         "num_channels:0": _entry(np.asarray([cfg.num_channels]), "i4"),
         "num_samples:0": _entry(np.asarray([cfg.num_samples]), "i4"),
         "num_blocks:0": _entry(np.asarray([cfg.num_blocks]), "i4"),
+        # input contract: were ladder planes 30/31 populated in training?
+        # (extra metadata; the reference loader ignores unknown names and
+        # its own dumps omit it -- absent means True, i.e. reference
+        # semantics where ladders are always computed)
+        "ladder_features:0": _entry(
+            np.asarray([int(cfg.ladder_features)]), "i4"),
     }
 
     def conv(name, scope):
@@ -176,8 +182,10 @@ def load_json(text: str):
     num_blocks = 0
     while f"{num_blocks + 2:02d}_residual/conv_1:0" in raw:
         num_blocks += 1
+    ladders = ("ladder_features:0" not in raw
+               or bool(int(_decode(raw["ladder_features:0"])[0])))
     cfg = ModelConfig(num_channels=num_channels, num_blocks=num_blocks,
-                      num_samples=num_samples)
+                      num_samples=num_samples, ladder_features=ladders)
 
     def conv(name, out_c, in_c, kh=3, kw=3):
         k = _decode(raw[f"{name}:0"])[: out_c * in_c * kh * kw]

@@ -88,6 +88,15 @@ def run_rl_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
                 os.path.join(loop_cfg.out_dir, f"ckpt_{ckpts[-1]:04d}"),
                 train_cfg)
             log(f"resume: generation {start_gen} from ckpt_{ckpts[-1]:04d}")
+            if (trainer.model_cfg.ladder_features
+                    != selfplay_cfg.ladder_features):
+                # the net's input contract wins over flags on resume
+                lf = trainer.model_cfg.ladder_features
+                log(f"resume: checkpoint ladder-feature contract = {lf}")
+                selfplay_cfg = dataclasses.replace(
+                    selfplay_cfg, ladder_features=lf)
+                search_cfg = dataclasses.replace(
+                    search_cfg, ladder_features=lf)
         else:
             trainer = Trainer.create(model_cfg, train_cfg,
                                      seed=loop_cfg.seed)

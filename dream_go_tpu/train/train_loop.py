@@ -293,6 +293,7 @@ class Trainer:
                 "num_channels": self.model_cfg.num_channels,
                 "num_blocks": self.model_cfg.num_blocks,
                 "num_samples": self.model_cfg.num_samples,
+                "ladder_features": int(self.model_cfg.ladder_features),
             },
         }))
 
@@ -306,9 +307,13 @@ class Trainer:
         # phase 1: raw restore to recover the hyperparameters
         raw = ckpt.restore(path)
         hyper = raw["hyper"]
+        # checkpoints written before the ladder-contract metadata existed
+        # were all trained with the planes off
+        ladders = bool(int(hyper.get("ladder_features", 0)))
         model_cfg = ModelConfig(num_channels=int(hyper["num_channels"]),
                                 num_blocks=int(hyper["num_blocks"]),
-                                num_samples=int(hyper["num_samples"]))
+                                num_samples=int(hyper["num_samples"]),
+                                ladder_features=ladders)
         # phase 2: re-restore against a structural template so pytree node
         # types (optimizer NamedTuples) come back intact
         template_state = init_state(model_cfg, jax.random.PRNGKey(0))
