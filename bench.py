@@ -188,7 +188,8 @@ def main():
         try:
             # serving latency: one flagship genmove (B=1, 100 sims)
             gstates = engine.new_states(1)
-            gcfg = SearchConfig(feature_kernel=on_tpu)
+            # same production config GTP serving now defaults to on tpu
+            gcfg = SearchConfig(fused=on_tpu, feature_kernel=not on_tpu)
             gsims = 100 if on_tpu else 8
             grun = jax.jit(lambda st, r: S.search(st, pred, r, gcfg, gsims))
             t = grun(gstates, jax.random.PRNGKey(0))

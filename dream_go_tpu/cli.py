@@ -11,6 +11,7 @@ reference pipeline (`README.md:63-74`).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -122,6 +123,13 @@ def main(argv=None):
     parser.add_argument("--max-moves", type=int, default=None,
                         help="self-play: cap game length (default: engine "
                              "limit, 722 as in the reference)")
+    parser.add_argument("--no-fused", action="store_true",
+                        help="disable the fused Pallas leaf kernel (on by "
+                             "default on a tpu backend)")
+    parser.add_argument("--no-adaptive", action="store_true",
+                        help="disable EARLY-C chunked early termination for "
+                             "self-play searches (on by default on a tpu "
+                             "backend; `time_control/mod.rs:48-70`)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--steps", type=int, default=1000)
     args = parser.parse_args(argv)
@@ -131,6 +139,15 @@ def main(argv=None):
         # (the env var is consumed at interpreter startup, too late here)
         import jax
         jax.config.update("jax_platforms", "cpu")
+    elif not os.environ.get("DG_NO_COMPILE_CACHE"):
+        # persistent compilation cache: restarts of long runs (rl loop
+        # supervisor, GTP servers) skip the remote compile service, whose
+        # first-compiles cost minutes per program through the tunnel
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("DG_COMPILE_CACHE",
+                                         "/tmp/dream_go_tpu_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     from .config import SearchConfig, SelfPlayConfig
 
@@ -144,6 +161,22 @@ def main(argv=None):
     finally:
         if profile_ctx is not None:
             profile_ctx.__exit__(None, None, None)
+
+
+def _search_cfg(args, adaptive_ok=True, **kw):
+    """SearchConfig with production defaults for the active backend: the
+    fused Pallas leaf kernel and EARLY-C adaptive termination are on for
+    real chips (bench-measured ~3.5x the portable path), off for CPU where
+    Pallas would need interpret mode."""
+    import jax
+
+    from .config import SearchConfig
+
+    on_tpu = jax.default_backend() == "tpu"
+    kw.setdefault("ladder_features", args.ladder_features)
+    kw.setdefault("fused", on_tpu and not args.no_fused)
+    kw.setdefault("adaptive", adaptive_ok and on_tpu and not args.no_adaptive)
+    return SearchConfig(**kw)
 
 
 def _run(args):
@@ -177,8 +210,7 @@ def _run(args):
             with open(path) as fh:
                 lines.extend(l.strip() for l in fh if l.strip())
         fn = run_ex_it if args.ex_it else run_reanalyze
-        for line in fn(lines, predictor,
-                       SearchConfig(ladder_features=args.ladder_features),
+        for line in fn(lines, predictor, _search_cfg(args),
                        num_sims=args.num_rollout, seed=args.seed):
             print(line)
         return
@@ -196,14 +228,12 @@ def _run(args):
                              ladder_features=args.ladder_features, **extra)
         games = search_self_play_continuous(
             predictor, cfg,
-            SearchConfig(num_rollout=args.num_rollout,
-                         ladder_features=args.ladder_features),
+            _search_cfg(args, num_rollout=args.num_rollout),
             seed=args.seed, batch=min(total, args.num_games))
         if args.ex_it:
             from .selfplay.reanalyze import ex_it as run_ex_it
             games = run_ex_it(
-                games, predictor,
-                SearchConfig(ladder_features=args.ladder_features),
+                games, predictor, _search_cfg(args),
                 num_sims=args.num_rollout, seed=args.seed)
         for line in games:
             print(line, flush=True)
@@ -232,14 +262,12 @@ def _run(args):
                 from .selfplay.search_play import search_self_play
                 games = search_self_play(
                     predictor, cfg,
-                    SearchConfig(num_rollout=args.num_rollout,
-                                 ladder_features=args.ladder_features),
+                    _search_cfg(args, num_rollout=args.num_rollout),
                     seed=args.seed + done)
             if args.ex_it:
                 from .selfplay.reanalyze import ex_it as run_ex_it
                 games = run_ex_it(
-                    games, predictor,
-                    SearchConfig(ladder_features=args.ladder_features),
+                    games, predictor, _search_cfg(args),
                     num_sims=args.num_rollout, seed=args.seed + done)
             for line in games:
                 print(line, flush=True)
@@ -251,7 +279,7 @@ def _run(args):
     from .gtp import GtpEngine, run_server
     predictor = _load_predictor(args)
     run_server(GtpEngine(
-        predictor, SearchConfig(ladder_features=args.ladder_features),
+        predictor, _search_cfg(args, adaptive_ok=False),
         num_rollout=args.num_rollout, ponder=args.ponder))
 
 

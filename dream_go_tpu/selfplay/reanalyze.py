@@ -31,7 +31,8 @@ def _search_positions(states: engine.GoState, predictor: Predictor,
                       search_cfg: SearchConfig, num_sims: int, seed: int):
     """Fresh-tree batched search; returns (moves? no — targets, values)."""
     fn = jax.jit(lambda st, rng: S.search(st, predictor, rng, search_cfg,
-                                          num_sims, None))
+                                          num_sims, None,
+                                          adaptive=search_cfg.adaptive))
     trees = fn(states, jax.random.PRNGKey(seed))
     targets = np.asarray(jax.vmap(S.softmax_targets)(trees),
                          dtype=np.float16)

@@ -88,6 +88,10 @@ def run_rl_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
                 os.path.join(loop_cfg.out_dir, f"ckpt_{ckpts[-1]:04d}"),
                 train_cfg)
             log(f"resume: generation {start_gen} from ckpt_{ckpts[-1]:04d}")
+            # the checkpoint's recovered hyperparams win over the flags, so a
+            # resume never has to restate --num-channels/--num-blocks
+            # (`__main__.py:93-104` hyperparam-recovery semantics)
+            model_cfg = trainer.model_cfg
             if (trainer.model_cfg.ladder_features
                     != selfplay_cfg.ladder_features):
                 # the net's input contract wins over flags on resume
@@ -102,6 +106,15 @@ def run_rl_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
                                      seed=loop_cfg.seed)
     else:
         trainer = Trainer.create(model_cfg, train_cfg, seed=loop_cfg.seed)
+
+    if jax.default_backend() == "tpu" and not search_cfg.fused:
+        # production search stack on real chips: fused leaf kernel
+        # (bench-measured ~3.5x the XLA path) + EARLY-C adaptive termination
+        # (the reference applies EARLY-C to every search strategy,
+        # `time_control/mod.rs:48-70`); tests/CPU keep the portable path
+        search_cfg = dataclasses.replace(search_cfg, fused=True,
+                                         adaptive=True)
+        log("search: fused leaf kernel + EARLY-C enabled (tpu backend)")
 
     mesh_ctx: contextlib.AbstractContextManager = contextlib.nullcontext()
     actor_sharding = None
