@@ -142,12 +142,19 @@ def main(argv=None):
     elif not os.environ.get("DG_NO_COMPILE_CACHE"):
         # persistent compilation cache: restarts of long runs (rl loop
         # supervisor, GTP servers) skip the remote compile service, whose
-        # first-compiles cost minutes per program through the tunnel
+        # first-compiles cost minutes per program through the tunnel.
+        # Accelerators only: XLA:CPU caches AOT machine code keyed loosely
+        # enough that entries written under different XLA flags / hosts load
+        # with mismatched machine features and crawl (observed: CPU self-play
+        # hung loading stale AOT entries), and CPU compiles are cheap anyway.
         import jax
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ.get("DG_COMPILE_CACHE",
-                                         "/tmp/dream_go_tpu_jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        backend = jax.default_backend()
+        if backend != "cpu":
+            cache = os.environ.get("DG_COMPILE_CACHE",
+                                   f"/tmp/dream_go_tpu_jax_cache_{backend}")
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              2.0)
 
     from .config import SearchConfig, SelfPlayConfig
 
@@ -167,16 +174,15 @@ def _search_cfg(args, adaptive_ok=True, **kw):
     """SearchConfig with production defaults for the active backend: the
     fused Pallas leaf kernel and EARLY-C adaptive termination are on for
     real chips (bench-measured ~3.5x the portable path), off for CPU where
-    Pallas would need interpret mode."""
-    import jax
-
+    Pallas would need interpret mode.  ``--no-fused``/``--no-adaptive``
+    force the portable knobs off everywhere (incl. ``--loop``)."""
     from .config import SearchConfig
 
-    on_tpu = jax.default_backend() == "tpu"
     kw.setdefault("ladder_features", args.ladder_features)
-    kw.setdefault("fused", on_tpu and not args.no_fused)
-    kw.setdefault("adaptive", adaptive_ok and on_tpu and not args.no_adaptive)
-    return SearchConfig(**kw)
+    kw.setdefault("fused", False if args.no_fused else None)
+    kw.setdefault("adaptive",
+                  False if (args.no_adaptive or not adaptive_ok) else None)
+    return SearchConfig(**kw).resolve_auto()
 
 
 def _run(args):
@@ -284,8 +290,7 @@ def _run(args):
 
 
 def _rl_loop(args):
-    from .config import (ModelConfig, SearchConfig, SelfPlayConfig,
-                         TrainConfig)
+    from .config import ModelConfig, SelfPlayConfig, TrainConfig
     from .train.rl_loop import RLLoopConfig, run_rl_loop
 
     if args.ladder_features is None:
@@ -300,8 +305,7 @@ def _rl_loop(args):
         SelfPlayConfig(num_games=args.num_games,
                        num_rollout=args.num_rollout, komi=args.komi,
                        ladder_features=args.ladder_features),
-        SearchConfig(num_rollout=args.num_rollout,
-                     ladder_features=args.ladder_features),
+        _search_cfg(args, num_rollout=args.num_rollout),
         RLLoopConfig(generations=args.loop,
                      games_per_generation=args.num_games,
                      ex_it=args.ex_it, out_dir=args.out_dir,

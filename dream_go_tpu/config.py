@@ -114,16 +114,36 @@ class SearchConfig:
     #                                    always computes them); greedy
     #                                    single-line reader by default
     ladders_exact: bool = False        # full branching DFS (slow; parity)
-    adaptive: bool = False             # EARLY-C chunked early termination
+    adaptive: bool | None = None       # EARLY-C chunked early termination;
+    #                                    None = auto (on for tpu backend)
     feature_kernel: bool = False       # Pallas liberties-after kernel (TPU)
     step_kernel: bool = False          # Pallas env-step for leaf expansion
-    fused: bool = False                # fused leaf kernel (step+features+
+    fused: bool | None = None          # fused leaf kernel (step+features+
     #                                    masks in one Pallas pass, TPU);
-    #                                    tree states kept in kernel layout
+    #                                    tree states kept in kernel layout;
+    #                                    None = auto (on for tpu backend)
     feature_set: str = "v1"            # input plane family ("v1" / "v2")
 
     def resolved_max_nodes(self) -> int:
         return self.max_nodes if self.max_nodes > 0 else self.num_rollout + 8
+
+    def resolve_auto(self) -> "SearchConfig":
+        """Fill the ``None`` (auto) knobs for the active backend.
+
+        ``fused`` and ``adaptive`` default to the production search stack on
+        real chips (bench-measured ~3.5x the portable XLA path) and to the
+        portable path on CPU, where Pallas would need interpret mode.  An
+        explicit ``True``/``False`` from the caller always wins — the auto
+        default never overrides an opt-out (`--no-fused`/`--no-adaptive`).
+        """
+        import jax
+
+        on_tpu = jax.default_backend() == "tpu"
+        fused = on_tpu if self.fused is None else self.fused
+        adaptive = on_tpu if self.adaptive is None else self.adaptive
+        if fused == self.fused and adaptive == self.adaptive:
+            return self
+        return dataclasses.replace(self, fused=fused, adaptive=adaptive)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -27,13 +27,23 @@ from .records import Played, game_result_sgf
 from .replay import states_at
 
 
-def _search_positions(states: engine.GoState, predictor: Predictor,
-                      search_cfg: SearchConfig, num_sims: int, seed: int):
-    """Fresh-tree batched search; returns (moves? no — targets, values)."""
-    fn = jax.jit(lambda st, rng: S.search(st, predictor, rng, search_cfg,
-                                          num_sims, None,
-                                          adaptive=search_cfg.adaptive))
-    trees = fn(states, jax.random.PRNGKey(seed))
+def _build_search_fn(predictor: Predictor, search_cfg: SearchConfig,
+                     num_sims: int):
+    """One jitted fresh-tree search program, built once per annotate pass.
+
+    Must be constructed OUTSIDE the chunk loop: a fresh ``jax.jit`` wrapper
+    per chunk is a new callable identity, so every chunk would retrace and
+    recompile the whole search program (minutes each on a remote-compile
+    TPU) even when the shapes repeat.
+    """
+    return jax.jit(lambda st, rng: S.search(st, predictor, rng, search_cfg,
+                                            num_sims, None,
+                                            adaptive=search_cfg.adaptive))
+
+
+def _search_positions(states: engine.GoState, search_fn, seed: int):
+    """Batched fresh-tree search of one position chunk -> (targets, values)."""
+    trees = search_fn(states, jax.random.PRNGKey(seed))
     targets = np.asarray(jax.vmap(S.softmax_targets)(trees),
                          dtype=np.float16)
     q = np.asarray(jax.vmap(S.root_q)(trees))
@@ -71,7 +81,10 @@ def annotate_lines(lines: list[str], predictor: Predictor,
     if not candidates:
         return list(lines)
 
-    # batched replay + search, padding the final chunk
+    # batched replay + search, padding the final chunk; both programs are
+    # jitted ONCE here so chunks with the same bucketed shapes reuse them
+    states_fn = jax.jit(states_at, static_argnums=3)
+    search_fn = _build_search_fn(predictor, search_cfg, num_sims)
     new_annotations: dict[tuple[int, int], tuple[np.ndarray, float]] = {}
     for start in range(0, len(candidates), position_batch):
         chunk = candidates[start:start + position_batch]
@@ -87,10 +100,9 @@ def annotate_lines(lines: list[str], predictor: Predictor,
             moves[row, :len(seq)] = seq
             komi[row] = parsed[g].komi
             tgt[row] = mi
-        states = jax.jit(states_at, static_argnums=3)(
+        states = states_fn(
             jnp.asarray(moves), jnp.asarray(tgt), jnp.asarray(komi), 64)
-        targets, values = _search_positions(states, predictor, search_cfg,
-                                            num_sims, seed + start)
+        targets, values = _search_positions(states, search_fn, seed + start)
         for row, (g, mi) in enumerate(chunk):
             new_annotations[(g, mi)] = (targets[row], float(values[row]))
 

@@ -107,14 +107,15 @@ def run_rl_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
     else:
         trainer = Trainer.create(model_cfg, train_cfg, seed=loop_cfg.seed)
 
-    if jax.default_backend() == "tpu" and not search_cfg.fused:
-        # production search stack on real chips: fused leaf kernel
-        # (bench-measured ~3.5x the XLA path) + EARLY-C adaptive termination
-        # (the reference applies EARLY-C to every search strategy,
-        # `time_control/mod.rs:48-70`); tests/CPU keep the portable path
-        search_cfg = dataclasses.replace(search_cfg, fused=True,
-                                         adaptive=True)
-        log("search: fused leaf kernel + EARLY-C enabled (tpu backend)")
+    # fill the auto (None) search knobs for the active backend: fused leaf
+    # kernel + EARLY-C on real chips (the reference applies EARLY-C to every
+    # search strategy, `time_control/mod.rs:48-70`), portable path on CPU.
+    # An explicit fused=False/adaptive=False from the caller is respected.
+    resolved = search_cfg.resolve_auto()
+    if resolved is not search_cfg:
+        search_cfg = resolved
+        log(f"search: auto stack for {jax.default_backend()} backend "
+            f"(fused={search_cfg.fused}, adaptive={search_cfg.adaptive})")
 
     mesh_ctx: contextlib.AbstractContextManager = contextlib.nullcontext()
     actor_sharding = None

@@ -13,7 +13,7 @@ def test_cli_self_play_emits_annotated_sgf():
         "import jax; jax.config.update('jax_platforms', 'cpu')\n"
         "sys.argv = ['dg', '--self-play', '2', '--num-rollout', '12',\n"
         "            '--num-games', '2', '--num-channels', '16',\n"
-        "            '--num-blocks', '1']\n"
+        "            '--num-blocks', '1', '--max-moves', '48']\n"
         "from dream_go_tpu.cli import main\n"
         "main()\n"
     ).format(repo=_repo())
@@ -62,3 +62,46 @@ def test_cli_print_tensor_statistics(tmp_path, capsys):
     main(["--print", "num_channels:0", "--weights", str(path)])
     text = capsys.readouterr().out
     assert text.startswith("num_channels:0") and "8" in text
+
+
+def test_search_cfg_auto_knobs_respect_opt_outs(monkeypatch):
+    """--no-fused/--no-adaptive force the portable path even when the
+    backend would default the production stack on (ADVICE r2: the --loop
+    path silently ignored the documented opt-outs)."""
+    import argparse
+
+    import jax
+
+    from dream_go_tpu.cli import _search_cfg
+    from dream_go_tpu.config import SearchConfig
+
+    def args(**kw):
+        ns = argparse.Namespace(ladder_features=True, no_fused=False,
+                                no_adaptive=False)
+        for k, v in kw.items():
+            setattr(ns, k, v)
+        return ns
+
+    # CPU backend: auto resolves both knobs off
+    cfg = _search_cfg(args())
+    assert cfg.fused is False and cfg.adaptive is False
+
+    # fake a tpu backend: auto resolves both knobs on, opt-outs win,
+    # and each knob is defaulted independently (ADVICE r2 low finding)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    cfg = _search_cfg(args())
+    assert cfg.fused is True and cfg.adaptive is True
+    cfg = _search_cfg(args(no_fused=True))
+    assert cfg.fused is False and cfg.adaptive is True
+    cfg = _search_cfg(args(no_adaptive=True))
+    assert cfg.fused is True and cfg.adaptive is False
+    cfg = _search_cfg(args(no_fused=True, no_adaptive=True))
+    assert cfg.fused is False and cfg.adaptive is False
+    # GTP-style callers keep adaptive off regardless of backend
+    cfg = _search_cfg(args(), adaptive_ok=False)
+    assert cfg.adaptive is False
+
+    # explicit values passed programmatically always win over auto
+    explicit = SearchConfig(fused=False, adaptive=False).resolve_auto()
+    assert explicit.fused is False and explicit.adaptive is False
+    assert SearchConfig().resolve_auto().fused is True
