@@ -88,6 +88,11 @@ def main(argv=None):
     parser.add_argument("--resume-loop", action="store_true",
                         help="--loop: continue from out-dir's last "
                              "checkpointed generation")
+    parser.add_argument("--warm-restart", action="store_true",
+                        help="--loop --resume-loop: reset the plateau-LR "
+                             "schedule to the warm-start rate (continues a "
+                             "run whose schedule reached its floor; "
+                             "reference --warm-start semantics)")
     parser.add_argument("--mesh-model", type=int, default=1,
                         help="tensor-parallel width for head kernels")
     parser.add_argument("--positions-per-game", type=int, default=8,
@@ -313,7 +318,8 @@ def _rl_loop(args):
                      mesh_model=args.mesh_model,
                      positions_per_game=args.positions_per_game,
                      bank_games=args.bank_games,
-                     resume=args.resume_loop))
+                     resume=args.resume_loop,
+                     warm_restart=args.warm_restart))
 
 
 def _print_tensors(args):

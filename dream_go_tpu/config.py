@@ -110,10 +110,21 @@ class SearchConfig:
     root_symmetries: int = 1           # 8 => full_forward 8-symmetry root eval
     cutoff_percentile: float = 0.5     # choose.rs pruning percentile
     deterministic: bool = False
-    ladder_features: bool = True       # feature planes 31/32 (reference
-    #                                    always computes them); greedy
-    #                                    single-line reader by default
-    ladders_exact: bool = False        # full branching DFS (slow; parity)
+    ladder_features: bool = False      # feature planes 30/31.  The reference
+    #                                    always computes them (features.rs:
+    #                                    101-148); here they default OFF as a
+    #                                    measured disposition: the vectorized
+    #                                    chase costs ~11 ms/board at batch
+    #                                    1024 on a v5e (tools/profile_ladder
+    #                                    .py) — 300x a leaf step — so the
+    #                                    default training contract excludes
+    #                                    them and the weights JSON carries
+    #                                    the flag either way.  Serving a net
+    #                                    whose contract includes them flips
+    #                                    this on automatically (cli).
+    ladders_exact: bool = False        # exact branching DFS; False = greedy
+    #                                    single line (97.9% per-candidate
+    #                                    agreement on real games)
     adaptive: bool | None = None       # EARLY-C chunked early termination;
     #                                    None = auto (on for tpu backend)
     feature_kernel: bool = False       # Pallas liberties-after kernel (TPU)
@@ -160,7 +171,8 @@ class SelfPlayConfig:
     komi: float = 7.5
     random_komi: bool = False          # lib.rs:210-224 komi distribution
     history_len: int = 64              # super-ko hash ring (SmallSet64 parity)
-    ladder_features: bool = True       # feature planes 31/32 (reference: on)
+    ladder_features: bool = False      # feature planes 30/31 (reference: on;
+    #                                    see SearchConfig.ladder_features)
     winrate_rollouts: bool = True      # self_play.rs:232-241 budget scaling
     winrate_momentum: float = 0.2      # self_play.rs:36 MOMENTUM
 
@@ -174,10 +186,13 @@ class ModelConfig:
     num_samples: int = 8               # policy-head channels
     num_features: int = 32             # input planes (32 for v1, 18 for v2)
     feature_set: str = "v1"            # "v1" (default) or "v2"
-    ladder_features: bool = True       # input contract: were planes 30/31
+    ladder_features: bool = False      # input contract: were planes 30/31
     #                                    populated when this net was trained?
     #                                    (carried in the weights JSON so
-    #                                    serving auto-configures the search)
+    #                                    serving auto-configures the search;
+    #                                    reference nets: always True, here
+    #                                    default False — a measured TPU
+    #                                    disposition, see SearchConfig)
     compute_dtype: str = "bfloat16"
     remat: bool = False                # recompute residual-block activations
     #                                    in backward (recompute_grad.py:25-56

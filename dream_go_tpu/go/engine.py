@@ -244,16 +244,23 @@ def legal_mask(state: GoState, color=None) -> jax.Array:
     return jnp.concatenate([moves, jnp.ones(1, bool)])
 
 
-def place_stones(stones: jax.Array, chain_id: jax.Array, color, p):
+def place_stones(stones: jax.Array, chain_id: jax.Array, color, p,
+                 chain_libs: jax.Array | None = None):
     """Hash-free placement on raw (stones, chain_id) arrays.
 
     Returns ``(stones, chain_id)`` after placing ``color`` at ``p`` with
     captures and chain merging; used by the ladder reader
     (`utils/ladder.rs`) where super-ko bookkeeping is irrelevant.
+
+    ``chain_libs`` (u/int32[362], indexed by chain id) may be passed when the
+    caller already holds this board's liberty table — the ladder chase
+    computes it once per placement anyway, and the [point x chain] reduction
+    inside :func:`chain_liberties` is the dominant per-rung cost.
     """
     color = jnp.asarray(color).astype(stones.dtype)
     opp = (OFFBOARD - color).astype(stones.dtype)
-    _, chain_libs = chain_liberties(stones, chain_id)
+    if chain_libs is None:
+        _, chain_libs = chain_liberties(stones, chain_id)
     st_p = _pad(stones, OFFBOARD)
     cid_p = _pad(chain_id, -1)
     nbr_p = jnp.asarray(_NBR)[p]  # traced index into the numpy table

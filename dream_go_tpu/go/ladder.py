@@ -96,18 +96,22 @@ def _valid_at(stones, point_libs, color, p):
     return (stones[p] == EMPTY) & ok
 
 
-def _chase_step(stones, chain_id, color, attack_p):
+def _chase_step(stones, chain_id, color, attack_p, pre_libs=None):
     """One rung: attacker plays ``attack_p``, the chased chain extends.
 
-    Returns ``(stones2, chain_id2, status, c1, c2)`` — the post-extension
-    board, status 0 = branch (continue), 1 = captured, 2 = line fails, and
-    the two candidate continuation attacks (NN = none), which are the
-    playable neighbors of the extension point in reference neighbor order
-    (`ladder.rs:110-119`).
+    Returns ``(stones2, chain_id2, status, c1, c2, libs2)`` — the
+    post-extension board, status 0 = branch (continue), 1 = captured,
+    2 = line fails, the two candidate continuation attacks (NN = none),
+    which are the playable neighbors of the extension point in reference
+    neighbor order (`ladder.rs:110-119`), and the post-extension liberty
+    table (for the next rung's placement — ``pre_libs`` is this board's
+    table from the previous rung, halving the [point x chain] reductions
+    per rung).
     """
     color = jnp.asarray(color).astype(stones.dtype)
     opp = (OFFBOARD - color).astype(stones.dtype)
-    st1, cid1 = place_stones(stones, chain_id, color, attack_p)
+    st1, cid1 = place_stones(stones, chain_id, color, attack_p,
+                             chain_libs=pre_libs)
     libs_cnt, first_lib, counter, point_libs = _board_stats(st1, cid1, color)
 
     # first adjacent opponent chain in atari that cannot counter-capture and
@@ -127,7 +131,7 @@ def _chase_step(stones, chain_id, color, attack_p):
         found = found | ok
 
     ext_c = jnp.minimum(ext, NN - 1)
-    st2, cid2 = place_stones(st1, cid1, opp, ext_c)
+    st2, cid2 = place_stones(st1, cid1, opp, ext_c, chain_libs=libs_cnt)
     libs_cnt2, _, _, point_libs2 = _board_stats(st2, cid2, color)
     def_libs = libs_cnt2[jnp.clip(cid2[ext_c], 0, NN)]
 
@@ -171,21 +175,27 @@ def _chase_step(stones, chain_id, color, attack_p):
     swap = both & (after_libs(c2, c1) > after_libs(c1, c2))
     c1s = jnp.where(swap, c2, c1)
     c2s = jnp.where(swap, c1, c2)
-    return st2, cid2, status, c1s, c2s
+    return st2, cid2, status, c1s, c2s, libs_cnt2
 
 
-def _chase(stones, chain_id, color, p, active, greedy: bool):
+def _chase(stones, chain_id, color, p, active, greedy: bool, libs=None):
     """DFS body shared by every ladder query; ``active=False`` lanes exit
     immediately (they ride along in a pooled vmap, see
-    :func:`ladder_planes`)."""
+    :func:`ladder_planes`).  ``libs`` is the board's liberty table
+    (``chain_liberties(stones, chain_id)[1]``) if the caller already has
+    it; each rung then reuses the running table instead of recomputing."""
+    if libs is None:
+        from .engine import chain_liberties
+
+        libs = chain_liberties(stones, chain_id)[1]
 
     def cond(c):
-        st, cid, attack, status, depth, sst, scid, sat, sp = c
+        status, depth = c[3], c[4]
         return (status == 0) & (depth < BUDGET)
 
     def body(c):
-        st, cid, attack, status, depth, sst, scid, sat, sp = c
-        st2, cid2, s, c1, c2 = _chase_step(st, cid, color, attack)
+        st, cid, attack, status, depth, lb, sst, scid, slb, sat, sp = c
+        st2, cid2, s, c1, c2, lb2 = _chase_step(st, cid, color, attack, lb)
         if greedy:
             # _chase_step orders (breathe-first, tight); take the tight
             # line when both exist and drop the alternative.
@@ -200,6 +210,8 @@ def _chase(stones, chain_id, color, p, active, greedy: bool):
             sst, st2, spc, 0), sst)
         scid = jnp.where(push, lax.dynamic_update_index_in_dim(
             scid, cid2, spc, 0), scid)
+        slb = jnp.where(push, lax.dynamic_update_index_in_dim(
+            slb, lb2, spc, 0), slb)
         sat = jnp.where(push, lax.dynamic_update_index_in_dim(
             sat, c2, spc, 0), sat)
         sp = sp + push
@@ -208,11 +220,12 @@ def _chase(stones, chain_id, color, p, active, greedy: bool):
         spm = jnp.clip(sp - 1, 0, STACK_CAP - 1)
         st_n = jnp.where(cont, st2, jnp.where(pop, sst[spm], st2))
         cid_n = jnp.where(cont, cid2, jnp.where(pop, scid[spm], cid2))
+        lb_n = jnp.where(cont, lb2, jnp.where(pop, slb[spm], lb2))
         attack_n = jnp.where(cont, c1, jnp.where(pop, sat[spm], NN))
         sp = jnp.where(pop, sp - 1, sp)
         status_n = jnp.where(s == 1, 1, jnp.where(cont | pop, 0, 2))
-        return (st_n, cid_n, attack_n, status_n, depth + 1, sst, scid, sat,
-                sp)
+        return (st_n, cid_n, attack_n, status_n, depth + 1, lb_n,
+                sst, scid, slb, sat, sp)
 
     if greedy:
         # the stack is dead code (push is always False): zero-size it so the
@@ -223,8 +236,10 @@ def _chase(stones, chain_id, color, p, active, greedy: bool):
     init = (stones, chain_id, jnp.asarray(p, jnp.int32),
             jnp.where(jnp.asarray(active), 0, 2).astype(jnp.int32),
             jnp.int32(0),
+            jnp.asarray(libs, jnp.int32),
             jnp.zeros((stack_cap, NN), stones.dtype),
             jnp.zeros((stack_cap, NN), chain_id.dtype),
+            jnp.zeros((stack_cap, NN + 1), jnp.int32),
             jnp.full((stack_cap,), NN, jnp.int32),
             jnp.int32(0))
     status = lax.while_loop(cond, body, init)[3]
@@ -241,32 +256,34 @@ def is_ladder_capture(stones, chain_id, color, p,
 
     ``greedy`` chases only the tighter branch (the one-move lookahead that
     leaves the defender fewest liberties) and never backtracks — a single
-    forced line, measured ≥99.9% agreement with the exact DFS
-    (`tools/measure_ladder_greedy.py`); it is the default for feature
-    planes because the branching search is compile- and memory-hostile on
-    TPU (see README "Known deviations").
+    forced line, measured ~98% per-candidate agreement with the exact DFS
+    on real-game positions and ~96% on uniform-random torture boards
+    (`tools/measure_ladder_greedy.py`); kept as an opt-in fast path.
     """
     return _chase(stones, chain_id, color, p, True, greedy)
 
 
-def _escape_jobs(stones, chain_id, color, p):
+def _escape_jobs(stones, chain_id, color, p, root_libs=None):
     """Escape preparation shared by :func:`is_ladder_escape` and the pooled
     planes: place ``color`` at ``p`` and return
-    ``(st2, cid2, feasible, attacks[4], playable[4])`` — the post-extension
-    board and the opponent counter-attack points that must ALL fail as
-    ladder captures (`ladder.rs:136-178`)."""
+    ``(st2, cid2, feasible, attacks[4], playable[4], libs2)`` — the
+    post-extension board, the opponent counter-attack points that must ALL
+    fail as ladder captures (`ladder.rs:136-178`), and the post-extension
+    liberty table for the chases."""
     color_c = jnp.asarray(color).astype(stones.dtype)
     opp = (OFFBOARD - jnp.asarray(color)).astype(stones.dtype)
 
     # must connect to an own chain in atari
-    _, chain_libs = chain_liberties(stones, chain_id)
+    if root_libs is None:
+        _, root_libs = chain_liberties(stones, chain_id)
     nbr_p = jnp.asarray(NBR)[p]
     nbr_st = _pad(stones, jnp.int8(OFFBOARD))[nbr_p]
     nbr_cid = _pad(chain_id, -1)[nbr_p]
-    nbr_libs = chain_libs[jnp.clip(nbr_cid, 0, NN)]
+    nbr_libs = root_libs[jnp.clip(nbr_cid, 0, NN)]
     connected = jnp.any((nbr_st == color_c) & (nbr_libs == 1))
 
-    st2, cid2 = place_stones(stones, chain_id, color, p)
+    st2, cid2 = place_stones(stones, chain_id, color, p,
+                             chain_libs=root_libs)
     libs_cnt2, _, _, point_libs2 = _board_stats(st2, cid2, color)
     cnt = libs_cnt2[jnp.clip(cid2[p], 0, NN)]
     feasible = connected & (cnt == 2)
@@ -274,7 +291,7 @@ def _escape_jobs(stones, chain_id, color, p):
     attacks = jnp.minimum(nbr_p, NN - 1)
     playable = (nbr_p < NN) & jax.vmap(
         lambda q: _valid_at(st2, point_libs2, opp, q))(attacks)
-    return st2, cid2, feasible, attacks, playable
+    return st2, cid2, feasible, attacks, playable, libs_cnt2
 
 
 def is_ladder_escape(stones, chain_id, color, p,
@@ -283,10 +300,10 @@ def is_ladder_escape(stones, chain_id, color, p,
     for the opponent (`ladder.rs:136-178`): the opponent must fail to
     ladder-capture from every playable adjacent point."""
     opp = (OFFBOARD - jnp.asarray(color)).astype(stones.dtype)
-    st2, cid2, feasible, attacks, playable = _escape_jobs(
+    st2, cid2, feasible, attacks, playable, libs2 = _escape_jobs(
         stones, chain_id, color, p)
     captured = jax.vmap(
-        lambda q, ok: _chase(st2, cid2, opp, q, ok, greedy)
+        lambda q, ok: _chase(st2, cid2, opp, q, ok, greedy, libs2)
     )(attacks, playable)
     return feasible & ~jnp.any(captured)
 
@@ -326,8 +343,9 @@ def ladder_planes(state: GoState, max_candidates: int = 24,
     esc_pts = jnp.minimum(esc_slots, NN - 1)
 
     # escape jobs: post-extension board + up to 4 counter-attack lanes each
-    est, ecid, feasible, eatk, eplay = jax.vmap(
-        lambda q: _escape_jobs(stones, chain_id, color, q))(esc_pts)
+    est, ecid, feasible, eatk, eplay, elibs = jax.vmap(
+        lambda q: _escape_jobs(stones, chain_id, color, q, chain_libs)
+    )(esc_pts)
     feasible = feasible & esc_ok
     eplay = eplay & feasible[:, None]
 
@@ -343,10 +361,14 @@ def ladder_planes(state: GoState, max_candidates: int = 24,
         jnp.broadcast_to(opp, (max_escapes * 4,))])
     j_attack = jnp.concatenate([cap_pts, eatk.reshape(-1)])
     j_active = jnp.concatenate([cap_ok, eplay.reshape(-1)])
+    j_libs = jnp.concatenate([
+        jnp.broadcast_to(chain_libs.astype(jnp.int32),
+                         (max_candidates, NN + 1)),
+        jnp.repeat(elibs.astype(jnp.int32), 4, axis=0)])
 
     captured = jax.vmap(
-        lambda st, cid, c, a, ok: _chase(st, cid, c, a, ok, greedy)
-    )(j_st, j_cid, j_color, j_attack, j_active)
+        lambda st, cid, c, a, ok, lb: _chase(st, cid, c, a, ok, greedy, lb)
+    )(j_st, j_cid, j_color, j_attack, j_active, j_libs)
 
     caps = captured[:max_candidates]
     esc_failed = jnp.any(

@@ -580,7 +580,8 @@ def init_trees(states: GoState, predictor: Predictor, rng: jax.Array,
                use_scoring: jax.Array | None) -> Tree:
     """Evaluate roots (batched) and allocate one tree per game."""
     feats = features.extract_batch(states, cfg.feature_set,
-                                   cfg.ladder_features, cfg.feature_kernel)
+                                   cfg.ladder_features, cfg.feature_kernel,
+                                   cfg.ladders_exact)
     value, policy = predictor(feats)
     cand_std = jax.vmap(standard_mask)(states)
     if use_scoring is None:
@@ -651,7 +652,7 @@ def run_search(trees: Tree, predictor: Predictor, cfg: SearchConfig,
         if not cfg.fused:
             feats = features.extract_batch(
                 leaf_states, cfg.feature_set, cfg.ladder_features,
-                cfg.feature_kernel)
+                cfg.feature_kernel, cfg.ladders_exact)
         value, policy = predictor(feats)
         en = None if budget is None else (start + i) < budget
         return _insert_backup_flat(

@@ -65,6 +65,12 @@ class RLLoopConfig:
     mesh_model: int = 1                 # tensor-parallel width for head kernels
     resume: bool = False                # continue from out_dir's last ckpt_NNNN
     #                                     + refill replay from gen_NNNN.sgf
+    warm_restart: bool = False          # on resume, discard the plateau-LR
+    #                                     state and restart the schedule at
+    #                                     train_cfg.warm_start_lr (reference
+    #                                     --warm-start semantics,
+    #                                     __main__.py:36-39) — continues a run
+    #                                     whose LR schedule ran to its floor
 
 
 def run_rl_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
@@ -88,6 +94,12 @@ def run_rl_loop(model_cfg: ModelConfig, train_cfg: TrainConfig,
                 os.path.join(loop_cfg.out_dir, f"ckpt_{ckpts[-1]:04d}"),
                 train_cfg)
             log(f"resume: generation {start_gen} from ckpt_{ckpts[-1]:04d}")
+            if loop_cfg.warm_restart:
+                from .lr_schedule import LearningRateScheduler
+                trainer.scheduler = LearningRateScheduler(
+                    train_cfg.warm_start_lr, train_cfg.lr_decay)
+                log(f"resume: warm restart, lr schedule reset to "
+                    f"{train_cfg.warm_start_lr:.2e}")
             # the checkpoint's recovered hyperparams win over the flags, so a
             # resume never has to restate --num-channels/--num-blocks
             # (`__main__.py:93-104` hyperparam-recovery semantics)

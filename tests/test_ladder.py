@@ -150,6 +150,69 @@ class TestPlanes:
         assert checked > 0
 
 
+_REF_GAMES = "/root/reference/src/dg_tests/fixtures/example_games.sgf"
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(_REF_GAMES),
+                    reason="reference corpus not present")
+def test_greedy_agreement():
+    """Greedy one-line chase vs the exact branching DFS on real-game
+    positions.  `tools/measure_ladder_greedy.py --sgf` measures ~97.9%
+    per-candidate agreement over the reference's 99 pro games (random-board
+    torture: ~96.0%) — the greedy reader misses 'either branch works'
+    captures, which is why the EXACT reader is the feature-plane default
+    and greedy is opt-in.  This pins the measured level on a smaller
+    sample so a structural regression of the greedy chase (or a drift of
+    the exact reader, which oracle tests cover directly) trips in CI."""
+    rng = np.random.default_rng(3)
+    from dream_go_tpu.selfplay.replay import states_at
+    from dream_go_tpu.train.pipeline import parse_game
+
+    with open(_REF_GAMES) as fh:
+        games = [g for g in (parse_game(l) for l in fh if l.strip())
+                 if g is not None and len(g.moves) >= 60][:48]
+    t_max = max(len(g.moves) for g in games)
+    t_max = ((t_max + 127) // 128) * 128
+    moves = np.full((len(games), t_max), engine.PASS, np.int32)
+    tgt = np.zeros(len(games), np.int32)
+    komi = np.zeros(len(games), np.float32)
+    for row, g in enumerate(games):
+        moves[row, :len(g.moves)] = g.moves
+        tgt[row] = int(rng.integers(30, len(g.moves)))
+        komi[row] = g.komi
+    states = jax.jit(states_at, static_argnums=3)(
+        jnp.asarray(moves), jnp.asarray(tgt), jnp.asarray(komi), 64)
+
+    planes = jax.jit(lambda st, g: jax.vmap(
+        lambda s: ladder.ladder_planes(s, greedy=g))(st), static_argnums=1)
+    cap_g, esc_g = map(np.asarray, planes(states, True))
+    cap_x, esc_x = map(np.asarray, planes(states, False))
+
+    # candidate prefilter (same as ladder_planes): denominate like the tool
+    from dream_go_tpu.go.engine import OFFBOARD, _pad, chain_liberties
+    from dream_go_tpu.go.topology import NBR
+
+    total = agree = 0
+    for i in range(len(games)):
+        stones = np.asarray(states.stones[i])
+        cid = np.asarray(states.chain_id[i])
+        color = int(states.to_move[i])
+        _, chain_libs = map(np.asarray, chain_liberties(
+            jnp.asarray(stones), jnp.asarray(cid)))
+        nbr_st = np.concatenate([stones, [OFFBOARD]])[NBR]
+        nbr_cid = np.concatenate([cid, [-1]])[NBR]
+        nbr_libs = chain_libs[np.clip(nbr_cid, 0, 361)]
+        empty = stones == 0
+        opp = 3 - color
+        cand = empty & (np.any((nbr_st == opp) & (nbr_libs == 2), axis=1)
+                        | np.any((nbr_st == color) & (nbr_libs == 1), axis=1))
+        total += int(cand.sum())
+        agree += int((cand & (cap_g[i] == cap_x[i])
+                      & (esc_g[i] == esc_x[i])).sum())
+    assert total >= 300, total
+    assert agree / total >= 0.95, (agree, total)
+
+
 def _nbrs(p):
     from dream_go_tpu.go.reference import neighbors
     return neighbors(p)

@@ -55,3 +55,15 @@ def test_resume_continues_from_last_checkpoint(tmp_path):
     assert int(trainer.state.step) == 9            # 6 restored + 3 new
     assert (tmp_path / "ckpt_0002").exists()
     assert (tmp_path / "weights_0002.json").exists()
+
+    # a warm restart continues a floored LR schedule at the warm-start rate
+    # (reference --warm-start, __main__.py:36-39)
+    logs = []
+    trainer = run_rl_loop(*args, RLLoopConfig(
+        generations=4, games_per_generation=4,
+        train_steps_per_generation=0, ex_it=False,
+        out_dir=str(tmp_path), seed=0, resume=True,
+        warm_restart=True), log_fn=logs.append)
+    assert any("warm restart" in m for m in logs)
+    assert trainer.scheduler.learning_rate == args[1].warm_start_lr
+    assert trainer.scheduler.step == 0
