@@ -381,14 +381,32 @@ def ladder_planes(state: GoState, max_candidates: int = 24,
 
 
 def ladder_planes_batch(states: GoState, chunk: int = 128,
-                        max_candidates: int = 24, greedy: bool = False):
+                        max_candidates: int = 24, greedy: bool = False,
+                        use_kernel: bool | None = None):
     """Batched :func:`ladder_planes` with bounded memory.
 
-    The per-candidate DFS stacks are live for every candidate of every
-    board at once under a flat vmap (~20GB at batch 1024); chunking the
-    batch through ``lax.map`` keeps at most ``chunk`` games' ladder state
+    On a TPU backend the exact reader runs as the Pallas kernel
+    (`ops/ladder_kernel.py`): boards and the DFS branch stacks live in
+    VMEM, per-point chain-liberty rows are maintained incrementally
+    across rungs, each board's grid step runs only its own candidates
+    (ALL of them — no ``max_candidates`` bound) to their own chase
+    depths.  The XLA pooled-lane form below is the portable path: the
+    per-candidate DFS stacks are live for every candidate of every board
+    at once under a flat vmap (~20GB at batch 1024); chunking the batch
+    through ``lax.map`` keeps at most ``chunk`` games' ladder state
     resident while staying one compiled program.
     """
+    if use_kernel is None:
+        import jax as _jax
+
+        use_kernel = (not greedy) and _jax.default_backend() == "tpu"
+    if use_kernel:
+        from ..ops.env_step import pack_states
+        from ..ops.ladder_kernel import ladder_planes_kernel
+
+        packed = pack_states(states)
+        return ladder_planes_kernel(
+            packed[0], packed[1], states.to_move.astype(jnp.int32))
     b = states.stones.shape[0]
     one = lambda s: ladder_planes(s, max_candidates, greedy)
     if b <= chunk or b % chunk != 0:

@@ -626,11 +626,20 @@ def run_search(trees: Tree, predictor: Predictor, cfg: SearchConfig,
             feats = feats_k[:, :, :361].transpose(0, 2, 1) \
                 .reshape(b, 19, 19, 32)
             if cfg.ladder_features:
-                from ..go.ladder import ladder_planes_batch
+                if jax.default_backend() == "tpu":
+                    # leaf states are already kernel-packed: the exact
+                    # Pallas ladder reads them in place (no unpack)
+                    from ..ops.ladder_kernel import ladder_planes_kernel
 
-                unpacked = unpack_rows(leaf_states)
-                capt, esc = ladder_planes_batch(
-                    unpacked, greedy=not cfg.ladders_exact)
+                    capt, esc = ladder_planes_kernel(
+                        leaf_packed[0], leaf_packed[1],
+                        leaf_packed[4][:, 0, 0])
+                else:
+                    from ..go.ladder import ladder_planes_batch
+
+                    unpacked = unpack_rows(leaf_states)
+                    capt, esc = ladder_planes_batch(
+                        unpacked, greedy=not cfg.ladders_exact)
                 feats = feats.at[..., 30].set(
                     capt.astype(jnp.float32).reshape(b, 19, 19))
                 feats = feats.at[..., 31].set(

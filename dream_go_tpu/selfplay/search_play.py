@@ -68,7 +68,10 @@ def _build_search_move_fn(predictor: Predictor, search_cfg: SearchConfig,
                          adaptive=search_cfg.adaptive, budget=budget)
         return finish(states, trees, k_move)
 
-    @jax.jit
+    # donate the previous trees: the caller rebinds them, and without the
+    # alias the re-root step holds TWO full [B, 2*sims, ...] tree copies —
+    # the difference between batch 128 and batch 256 fitting in 16G HBM
+    @functools.partial(jax.jit, donate_argnums=(1,))
     def reuse_move_fn(states: engine.GoState, trees: S.Tree,
                       prev_move: jax.Array, rng: jax.Array,
                       budget: jax.Array, fresh_mask: jax.Array):

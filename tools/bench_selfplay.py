@@ -67,7 +67,8 @@ def main() -> int:
 
     sp = SelfPlayConfig(num_games=args.warmup_games,
                         num_rollout=args.rollout)
-    sc = SearchConfig(num_rollout=args.rollout)
+    # production stack on chips: fused leaf kernel + EARLY-C adaptive stop
+    sc = SearchConfig(num_rollout=args.rollout).resolve_auto()
 
     t0 = time.time()
     search_self_play_continuous(predictor, sp, sc, seed=args.seed,

@@ -80,9 +80,19 @@ def main() -> int:
     np.asarray(states.stones)
 
     for mode in args.modes:
-        greedy = mode == "greedy"
-        fn = jax.jit(lambda s, g=greedy: ladder_planes_batch(
-            s, chunk=args.chunk, greedy=g))
+        if mode == "kernel":
+            from dream_go_tpu.ops.env_step import pack_states
+            from dream_go_tpu.ops.ladder_kernel import ladder_planes_kernel
+
+            def fn(s):
+                packed = pack_states(s)
+                return ladder_planes_kernel(
+                    packed[0], packed[1], s.to_move.astype(jnp.int32))
+            fn = jax.jit(fn)
+        else:
+            greedy = mode == "greedy"
+            fn = jax.jit(lambda s, g=greedy: ladder_planes_batch(
+                s, chunk=args.chunk, greedy=g))
         t0 = time.perf_counter()
         cap, esc = fn(states)
         np.asarray(cap)
