@@ -24,6 +24,7 @@ env step.  Reference semantics preserved:
 from __future__ import annotations
 
 import functools
+import time
 
 import jax
 import jax.numpy as jnp
@@ -42,8 +43,16 @@ def _build_search_move_fn(predictor: Predictor, search_cfg: SearchConfig,
                           num_sims: int, temperature_moves: int,
                           tree_reuse: bool = True):
     """Two jitted paths: the first move searches fresh trees; subsequent
-    moves re-root the previous move's trees (`tree.rs:1225-1249`)."""
-    capacity = 2 * num_sims + 8 if tree_reuse else num_sims + 1
+    moves re-root the previous move's trees (`tree.rs:1225-1249`).
+
+    Tree capacity defaults to 2x the rollout budget for reuse headroom;
+    ``search_cfg.max_nodes`` overrides it (the capacity guard drops inserts
+    past the cap, so a tighter cap trades a little reuse headroom for HBM —
+    at 1600 rollouts x batch 256 the 2x default is what doesn't fit)."""
+    if search_cfg.max_nodes > 0:
+        capacity = search_cfg.max_nodes
+    else:
+        capacity = 2 * num_sims + 8 if tree_reuse else num_sims + 1
 
     def finish(states, trees, k_move):
         temp = jnp.where(states.move_count < temperature_moves,
@@ -186,7 +195,8 @@ def search_self_play_continuous(predictor: Predictor, cfg: SelfPlayConfig,
                                 seed: int = 0, batch: int = 256,
                                 refill_every: int = 8,
                                 sym_average: bool = False,
-                                sharding=None) -> list[str]:
+                                sharding=None,
+                                game_times: list | None = None) -> list[str]:
     """Full-search self-play with continuous batching: finished games are
     replaced by fresh ones so the device batch stays full of live games.
 
@@ -252,6 +262,8 @@ def search_self_play_continuous(predictor: Predictor, cfg: SelfPlayConfig,
             games.append(game_result_sgf(
                 "".join(sgf_moves), komi=float(komis[g]),
                 territory=territory[g]))
+            if game_times is not None:
+                game_times.append(time.monotonic())
         refill_komi = np.where(
             done,
             random_komi(batch, int(rng_np.integers(1, 2**31)))

@@ -39,6 +39,8 @@ def main() -> int:
     ap.add_argument("--rollout", type=int, default=1600)
     ap.add_argument("--games", type=int, default=64)
     ap.add_argument("--warmup-games", type=int, default=4)
+    ap.add_argument("--capacity", type=int, default=0,
+                    help="tree node cap (0: 2*rollout reuse default)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -65,31 +67,39 @@ def main() -> int:
         params, stats = T.init_tower(cfg, jax.random.PRNGKey(0))
         predictor = net_predictor(cfg, params, stats)
 
-    sp = SelfPlayConfig(num_games=args.warmup_games,
-                        num_rollout=args.rollout)
     # production stack on chips: fused leaf kernel + EARLY-C adaptive stop
-    sc = SearchConfig(num_rollout=args.rollout).resolve_auto()
+    sc = SearchConfig(num_rollout=args.rollout,
+                      max_nodes=args.capacity).resolve_auto()
 
+    # ONE continuous run: compiles + the cold batch-maturation ramp (a fresh
+    # batch completes nothing until its first games reach game length), then
+    # a steady-state window.  The production quantity is the steady rate —
+    # finished slots are continuously refilled, so after the ramp the
+    # completion stream is stationary; `warmup_games` sets the ramp cutoff.
+    total = args.warmup_games + args.games
+    sp = SelfPlayConfig(num_games=total, num_rollout=args.rollout)
+    game_times: list = []
     t0 = time.time()
-    search_self_play_continuous(predictor, sp, sc, seed=args.seed,
-                                batch=args.batch)
-    warmup_s = time.time() - t0
-
-    sp = SelfPlayConfig(num_games=args.games, num_rollout=args.rollout)
-    t0 = time.time()
-    games = search_self_play_continuous(predictor, sp, sc,
-                                        seed=args.seed + 1,
-                                        batch=args.batch)
+    games = search_self_play_continuous(predictor, sp, sc, seed=args.seed,
+                                        batch=args.batch,
+                                        game_times=game_times)
     dt = time.time() - t0
 
     sims = sum(int(m) for g in games for m in _TV_RE.findall(g))
     moves = sum(len(_TV_RE.findall(g)) for g in games)
+    steady = None
+    if len(game_times) > args.warmup_games + 1:
+        window = game_times[args.warmup_games:]
+        span = window[-1] - window[0]
+        if span > 0:
+            steady = (len(window) - 1) / span
     print(json.dumps({
         "games": len(games), "seconds": round(dt, 1),
-        "games_per_sec": round(len(games) / dt, 4),
+        "games_per_sec_wall": round(len(games) / dt, 4),
+        "games_per_sec_steady": round(steady, 4) if steady else None,
+        "ramp_games": args.warmup_games,
         "moves": moves, "sims": sims,
-        "sims_per_sec": round(sims / dt, 1),
-        "warmup_seconds": round(warmup_s, 1),
+        "sims_per_sec_wall": round(sims / dt, 1),
         "batch": args.batch, "rollout": args.rollout,
         "net": args.weights or f"{args.channels}x{args.blocks}-random",
     }))
