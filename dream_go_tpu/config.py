@@ -122,9 +122,15 @@ class SearchConfig:
     #                                    the flag either way.  Serving a net
     #                                    whose contract includes them flips
     #                                    this on automatically (cli).
-    ladders_exact: bool = False        # exact branching DFS; False = greedy
+    ladders_exact: bool | None = None  # exact branching DFS; False = greedy
     #                                    single line (97.9% per-candidate
-    #                                    agreement on real games)
+    #                                    agreement on real games); None =
+    #                                    auto: exact on tpu (the Pallas
+    #                                    kernel makes it the fast path),
+    #                                    greedy elsewhere.  ONE flag drives
+    #                                    BOTH the root eval and the fused
+    #                                    leaf path, so the net always sees
+    #                                    planes 30/31 under one semantics.
     adaptive: bool | None = None       # EARLY-C chunked early termination;
     #                                    None = auto (on for tpu backend)
     feature_kernel: bool = False       # Pallas liberties-after kernel (TPU)
@@ -143,18 +149,25 @@ class SearchConfig:
 
         ``fused`` and ``adaptive`` default to the production search stack on
         real chips (bench-measured ~3.5x the portable XLA path) and to the
-        portable path on CPU, where Pallas would need interpret mode.  An
-        explicit ``True``/``False`` from the caller always wins — the auto
-        default never overrides an opt-out (`--no-fused`/`--no-adaptive`).
+        portable path on CPU, where Pallas would need interpret mode.
+        ``ladders_exact`` defaults to exact on tpu (the Pallas ladder kernel
+        is both exact and fast there) and greedy elsewhere, so the root eval
+        and the fused leaf path always compute planes 30/31 under the same
+        semantics.  An explicit ``True``/``False`` from the caller always
+        wins — the auto default never overrides an opt-out
+        (`--no-fused`/`--no-adaptive`).
         """
         import jax
 
         on_tpu = jax.default_backend() == "tpu"
         fused = on_tpu if self.fused is None else self.fused
         adaptive = on_tpu if self.adaptive is None else self.adaptive
-        if fused == self.fused and adaptive == self.adaptive:
+        exact = on_tpu if self.ladders_exact is None else self.ladders_exact
+        if (fused == self.fused and adaptive == self.adaptive
+                and exact == self.ladders_exact):
             return self
-        return dataclasses.replace(self, fused=fused, adaptive=adaptive)
+        return dataclasses.replace(self, fused=fused, adaptive=adaptive,
+                                   ladders_exact=exact)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -171,16 +171,32 @@ def features_v1(state: GoState, symmetry: int = 0,
     return feats.reshape(19, 19, NUM_FEATURES_V1)
 
 
+def resolve_ladders_exact(value: bool | None) -> bool:
+    """Resolve the auto (``None``) ladder-reader choice for the backend.
+
+    Exact on tpu — the Pallas branching-DFS kernel
+    (`ops/ladder_kernel.py`) makes the reference's exact semantics
+    (`ladder.rs:53-119`) the *fast* path there — greedy elsewhere, where
+    the exact XLA pooled-lane DFS costs seconds per large batch.  One
+    resolved value must drive every feature extraction a net sees
+    (root eval and leaf expansion alike) so planes 30/31 keep one
+    semantics within a search."""
+    if value is None:
+        return jax.default_backend() == "tpu"
+    return bool(value)
+
+
 def extract_batch(states: GoState, feature_set: str = "v1",
                   with_ladders: bool = False,
                   use_kernel: bool = False,
-                  ladders_exact: bool = False) -> jax.Array:
+                  ladders_exact: bool | None = None) -> jax.Array:
     """Batched features for the configured plane set.
 
-    Ladder planes use the greedy single-line reader by default (measured
-    97.9% per-candidate agreement with the exact branch DFS on real-game
-    positions, `tools/measure_ladder_greedy.py`); ``ladders_exact`` opts
-    into the reference's full branching recursion."""
+    ``ladders_exact=None`` resolves per backend (exact kernel on tpu,
+    greedy single-line reader elsewhere — measured 97.9% per-candidate
+    agreement with the exact branch DFS on real-game positions,
+    `tools/measure_ladder_greedy.py`)."""
+    ladders_exact = resolve_ladders_exact(ladders_exact)
     if feature_set == "v2":
         return jax.vmap(
             lambda s: features_v2(s, with_ladders, ladders_exact))(states)

@@ -43,11 +43,18 @@ from .engine import (
 from .topology import IOTA, NBR, NN
 
 #: not-taken branches kept for backtracking; fail-fast exploration order
-#: (see `_chase_step`) keeps real ladders at depth 1-2.
+#: (see `_chase_step`) keeps real ladders at depth 1-2.  Overflow drops the
+#: branch (resolves toward "no capture") — `tests/test_ladder_stress.py`
+#: pins this and the measured slack.
 STACK_CAP = 8
-#: total rungs across all explored lines (the oracle caps recursion at 80);
-#: a corner-to-corner zigzag costs ~2 rungs per step, ~40 total.
-BUDGET = 160
+#: total rungs across all explored lines.  The measured worst case on a
+#: corner-to-corner staircase is 48 explored rungs (depth 31 + fail-fast
+#: alternates, `tests/test_ladder_stress.py`); the theoretical ceiling for
+#: any 19x19 chase is ~120 deep (two stones consumed per rung), ~2.2x that
+#: with alternates, so 320 covers every physically constructible board.
+#: Raising it is free for normal boards — the `while_loop` exits on status,
+#: not on the bound.
+BUDGET = 320
 
 
 def _board_stats(stones, chain_id, atk_color):
@@ -178,12 +185,22 @@ def _chase_step(stones, chain_id, color, attack_p, pre_libs=None):
     return st2, cid2, status, c1s, c2s, libs_cnt2
 
 
-def _chase(stones, chain_id, color, p, active, greedy: bool, libs=None):
+def _chase(stones, chain_id, color, p, active, greedy: bool, libs=None,
+           budget: int | None = None, stack_cap: int | None = None):
     """DFS body shared by every ladder query; ``active=False`` lanes exit
     immediately (they ride along in a pooled vmap, see
     :func:`ladder_planes`).  ``libs`` is the board's liberty table
     (``chain_liberties(stones, chain_id)[1]``) if the caller already has
-    it; each rung then reuses the running table instead of recomputing."""
+    it; each rung then reuses the running table instead of recomputing.
+    ``budget``/``stack_cap`` override the module bounds (used by the
+    stress tests to pin behavior at and beyond them)."""
+    if budget is None:
+        budget = BUDGET
+    if stack_cap is None:
+        stack_cap = STACK_CAP
+    # allocation size: dynamic_update needs >=1 rows even when the logical
+    # cap is 0 (the push predicate still uses the logical cap)
+    alloc_cap = 1 if greedy else max(stack_cap, 1)
     if libs is None:
         from .engine import chain_liberties
 
@@ -191,7 +208,7 @@ def _chase(stones, chain_id, color, p, active, greedy: bool, libs=None):
 
     def cond(c):
         status, depth = c[3], c[4]
-        return (status == 0) & (depth < BUDGET)
+        return (status == 0) & (depth < budget)
 
     def body(c):
         st, cid, attack, status, depth, lb, sst, scid, slb, sat, sp = c
@@ -204,8 +221,8 @@ def _chase(stones, chain_id, color, p, active, greedy: bool, libs=None):
         cont = (s == 0) & (c1 < NN)
         fail = (s == 2) | ((s == 0) & (c1 >= NN))
 
-        push = cont & (c2 < NN) & (sp < STACK_CAP)
-        spc = jnp.clip(sp, 0, STACK_CAP - 1)
+        push = cont & (c2 < NN) & (sp < stack_cap)
+        spc = jnp.clip(sp, 0, alloc_cap - 1)
         sst = jnp.where(push, lax.dynamic_update_index_in_dim(
             sst, st2, spc, 0), sst)
         scid = jnp.where(push, lax.dynamic_update_index_in_dim(
@@ -217,7 +234,7 @@ def _chase(stones, chain_id, color, p, active, greedy: bool, libs=None):
         sp = sp + push
 
         pop = fail & (sp > 0)
-        spm = jnp.clip(sp - 1, 0, STACK_CAP - 1)
+        spm = jnp.clip(sp - 1, 0, alloc_cap - 1)
         st_n = jnp.where(cont, st2, jnp.where(pop, sst[spm], st2))
         cid_n = jnp.where(cont, cid2, jnp.where(pop, scid[spm], cid2))
         lb_n = jnp.where(cont, lb2, jnp.where(pop, slb[spm], lb2))
@@ -227,27 +244,22 @@ def _chase(stones, chain_id, color, p, active, greedy: bool, libs=None):
         return (st_n, cid_n, attack_n, status_n, depth + 1, lb_n,
                 sst, scid, slb, sat, sp)
 
-    if greedy:
-        # the stack is dead code (push is always False): zero-size it so the
-        # while carry stays small
-        stack_cap = 1
-    else:
-        stack_cap = STACK_CAP
     init = (stones, chain_id, jnp.asarray(p, jnp.int32),
             jnp.where(jnp.asarray(active), 0, 2).astype(jnp.int32),
             jnp.int32(0),
             jnp.asarray(libs, jnp.int32),
-            jnp.zeros((stack_cap, NN), stones.dtype),
-            jnp.zeros((stack_cap, NN), chain_id.dtype),
-            jnp.zeros((stack_cap, NN + 1), jnp.int32),
-            jnp.full((stack_cap,), NN, jnp.int32),
+            jnp.zeros((alloc_cap, NN), stones.dtype),
+            jnp.zeros((alloc_cap, NN), chain_id.dtype),
+            jnp.zeros((alloc_cap, NN + 1), jnp.int32),
+            jnp.full((alloc_cap,), NN, jnp.int32),
             jnp.int32(0))
     status = lax.while_loop(cond, body, init)[3]
     return status == 1
 
 
 def is_ladder_capture(stones, chain_id, color, p,
-                      greedy: bool = False) -> jax.Array:
+                      greedy: bool = False, budget: int | None = None,
+                      stack_cap: int | None = None) -> jax.Array:
     """bool: playing ``color`` at ``p`` starts a winning ladder chase.
 
     Explicit-stack DFS over the reference's branch recursion
@@ -260,7 +272,8 @@ def is_ladder_capture(stones, chain_id, color, p,
     on real-game positions and ~96% on uniform-random torture boards
     (`tools/measure_ladder_greedy.py`); kept as an opt-in fast path.
     """
-    return _chase(stones, chain_id, color, p, True, greedy)
+    return _chase(stones, chain_id, color, p, True, greedy,
+                  budget=budget, stack_cap=stack_cap)
 
 
 def _escape_jobs(stones, chain_id, color, p, root_libs=None):
@@ -295,7 +308,8 @@ def _escape_jobs(stones, chain_id, color, p, root_libs=None):
 
 
 def is_ladder_escape(stones, chain_id, color, p,
-                     greedy: bool = False) -> jax.Array:
+                     greedy: bool = False, budget: int | None = None,
+                     stack_cap: int | None = None) -> jax.Array:
     """bool: playing ``color`` at ``p`` escapes an atari via a failed ladder
     for the opponent (`ladder.rs:136-178`): the opponent must fail to
     ladder-capture from every playable adjacent point."""
@@ -303,7 +317,8 @@ def is_ladder_escape(stones, chain_id, color, p,
     st2, cid2, feasible, attacks, playable, libs2 = _escape_jobs(
         stones, chain_id, color, p)
     captured = jax.vmap(
-        lambda q, ok: _chase(st2, cid2, opp, q, ok, greedy, libs2)
+        lambda q, ok: _chase(st2, cid2, opp, q, ok, greedy, libs2,
+                             budget=budget, stack_cap=stack_cap)
     )(attacks, playable)
     return feasible & ~jnp.any(captured)
 
@@ -395,11 +410,26 @@ def ladder_planes_batch(states: GoState, chunk: int = 128,
     at once under a flat vmap (~20GB at batch 1024); chunking the batch
     through ``lax.map`` keeps at most ``chunk`` games' ladder state
     resident while staying one compiled program.
+
+    NOTE on bounds: ``chunk``/``max_candidates`` apply ONLY to the XLA
+    path.  The kernel evaluates every candidate, so on boards with more
+    than ``max_candidates`` capture starts (or 8 escape starts) the two
+    backends can legitimately differ — the kernel's planes are the
+    *more* complete ones (closer to `ladder.rs`, which bounds nothing).
+    Callers that need the bounded XLA semantics on a TPU backend must
+    pass ``use_kernel=False`` explicitly.
     """
     if use_kernel is None:
         import jax as _jax
 
         use_kernel = (not greedy) and _jax.default_backend() == "tpu"
+    if use_kernel and max_candidates != 24:
+        import warnings
+
+        warnings.warn(
+            "ladder_planes_batch: the Pallas kernel evaluates ALL "
+            "candidates; max_candidates=%d is ignored on this path"
+            % max_candidates, stacklevel=2)
     if use_kernel:
         from ..ops.env_step import pack_states
         from ..ops.ladder_kernel import ladder_planes_kernel

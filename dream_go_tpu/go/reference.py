@@ -231,10 +231,13 @@ class PyBoard:
                         stones[r] = EMPTY
         return stones
 
-    def is_ladder_capture(self, color: int, p: int) -> bool:
-        return _l_capture(self._l_place(list(self.stones), color, p), color, p)
+    def is_ladder_capture(self, color: int, p: int,
+                          max_depth: int | None = None) -> bool:
+        return _l_capture(self._l_place(list(self.stones), color, p), color,
+                          p, 0, max_depth)
 
-    def is_ladder_escape(self, color: int, p: int) -> bool:
+    def is_ladder_escape(self, color: int, p: int,
+                         max_depth: int | None = None) -> bool:
         stones = list(self.stones)
         opp = 3 - color
         connected = any(
@@ -247,7 +250,7 @@ class PyBoard:
             return False
         for q in neighbors(p):
             if _l_valid(stones, opp, q) and _l_capture(
-                    self._l_place(stones, opp, q), opp, q):
+                    self._l_place(stones, opp, q), opp, q, 0, max_depth):
                 return False
         return True
 
@@ -330,9 +333,18 @@ def _l_can_counter(stones: list[int], color: int, chain) -> bool:
     return False
 
 
-def _l_capture(stones: list[int], color: int, p: int, depth: int = 0) -> bool:
+#: practical recursion cap for the oracle (the reference recursion is
+#: unbounded, `ladder.rs:53-119`; 80 covers every real-game ladder).  The
+#: stress tests raise it to follow adversarial whole-board chases.
+LADDER_MAX_DEPTH = 80
+
+
+def _l_capture(stones: list[int], color: int, p: int, depth: int = 0,
+               max_depth: int | None = None) -> bool:
     """Board state is *after* placing color at p (`_is_ladder_capture`)."""
-    if depth > 80:
+    if max_depth is None:
+        max_depth = LADDER_MAX_DEPTH
+    if depth > max_depth:
         return False
     opp = 3 - color
     ext = None
@@ -375,6 +387,6 @@ def _l_capture(stones: list[int], color: int, p: int, depth: int = 0) -> bool:
                     if not _l_libs(s3, ch):
                         for t in ch:
                             s3[t] = EMPTY
-            if _l_capture(s3, color, q, depth + 1):
+            if _l_capture(s3, color, q, depth + 1, max_depth):
                 return True
     return False

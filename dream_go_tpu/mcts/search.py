@@ -626,7 +626,12 @@ def run_search(trees: Tree, predictor: Predictor, cfg: SearchConfig,
             feats = feats_k[:, :, :361].transpose(0, 2, 1) \
                 .reshape(b, 19, 19, 32)
             if cfg.ladder_features:
-                if jax.default_backend() == "tpu":
+                # one resolved reader for the whole search: the same flag
+                # that chose the root's reader (init_trees -> extract_batch)
+                # chooses the leaf's, so the net never sees planes 30/31
+                # under two semantics within one search
+                exact = features.resolve_ladders_exact(cfg.ladders_exact)
+                if exact and jax.default_backend() == "tpu":
                     # leaf states are already kernel-packed: the exact
                     # Pallas ladder reads them in place (no unpack)
                     from ..ops.ladder_kernel import ladder_planes_kernel
@@ -639,7 +644,7 @@ def run_search(trees: Tree, predictor: Predictor, cfg: SearchConfig,
 
                     unpacked = unpack_rows(leaf_states)
                     capt, esc = ladder_planes_batch(
-                        unpacked, greedy=not cfg.ladders_exact)
+                        unpacked, greedy=not exact)
                 feats = feats.at[..., 30].set(
                     capt.astype(jnp.float32).reshape(b, 19, 19))
                 feats = feats.at[..., 31].set(

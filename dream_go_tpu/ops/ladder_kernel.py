@@ -43,7 +43,10 @@ from .env_step import NP, _roll
 N = 19
 L = 8          # chase lanes per group
 STACK_CAP = 8  # branch stack depth per lane (go/ladder.py STACK_CAP)
-BUDGET = 160   # total rungs per lane across all explored lines
+BUDGET = 320   # total rungs per lane across all explored lines; covers any
+#                19x19-constructible chase with alternates (go/ladder.py
+#                BUDGET rationale; the while_loop exits on status, so the
+#                bound is free for normal boards)
 
 # direction order MUST match go/topology.NBR (up, left, right, down): the
 # chase takes the FIRST qualifying extension / branch in this order.
@@ -340,55 +343,43 @@ def _chase_group(consts_ref, st0, cid0, plb0, color, attack0, active,
         fail = (s_new == 2) | ((s_new == 0) & (c1s >= NN))
         fail = fail & live
 
-        # push the not-taken branch
+        # push the not-taken branch.  Mosaic has no scatter and cannot
+        # prove alignment of dynamic-index stores, so both push and pop are
+        # whole-stack masked read-modify-writes: a [L, STACK_CAP] slot mask
+        # selects the one slot per lane being written/read.
         push = cont & (c2s < NN) & (sp < STACK_CAP)
-        any_push = jnp.max(push.astype(jnp.int32)) > 0
-
-        @pl.when(any_push)
-        def _():
-            for lane in range(L):
-                spc = jnp.clip(sp[lane, 0], 0, STACK_CAP - 1)
-
-                @pl.when(push[lane, 0])
-                def _():
-                    sst[lane, pl.ds(spc, 1), :] = st2[lane:lane + 1, :]
-                    scid[lane, pl.ds(spc, 1), :] = cid2[lane:lane + 1, :]
-                    splb[lane, pl.ds(spc, 1), :] = plb2[lane:lane + 1, :]
-                    satk[lane, 0, pl.ds(spc, 1)] = c2s[lane, 0:1]
+        sc_iota = jax.lax.broadcasted_iota(jnp.int32, (L, STACK_CAP), 1)
+        slot = (sc_iota == jnp.clip(sp, 0, STACK_CAP - 1)) & push  # [L, SC]
+        # minor-dim insertion is only lowerable for 32-bit types: reshape the
+        # i32 mask, compare after
+        slot3 = slot.astype(jnp.int32)[:, :, None] > 0     # [L, SC, 1]
+        slot3a = slot.astype(jnp.int32)[:, None, :] > 0    # [L, 1, SC]
+        sst[...] = jnp.where(slot3, st2[:, None, :], sst[...])
+        scid[...] = jnp.where(slot3, cid2[:, None, :], scid[...])
+        splb[...] = jnp.where(slot3, plb2[:, None, :], splb[...])
+        satk[...] = jnp.where(slot3a, c2s[:, :, None], satk[...])
 
         sp1 = sp + push.astype(jnp.int32)
 
-        # pop a stacked branch on failure
+        # pop a stacked branch on failure (masked one-hot reduce per lane)
         pop = fail & (sp1 > 0)
-        any_pop = jnp.max(pop.astype(jnp.int32)) > 0
         spm = jnp.clip(sp1 - 1, 0, STACK_CAP - 1)
+        pslot = (sc_iota == spm).astype(jnp.int32)          # [L, SC]
+        pslot3 = pslot[:, :, None] > 0
+        pslot3a = pslot[:, None, :] > 0
+        st_l = jnp.sum(jnp.where(pslot3, sst[...], 0), axis=1)
+        cid_l = jnp.sum(jnp.where(pslot3, scid[...], 0), axis=1)
+        plb_l = jnp.sum(jnp.where(pslot3, splb[...], 0), axis=1)
+        atk_l = jnp.sum(jnp.where(pslot3a, satk[...], 0), axis=2)
 
         st_n = jnp.where(cont, st2, st)
         cid_n = jnp.where(cont, cid2, cid)
         plb_n = jnp.where(cont, plb2, plb)
         atk_n = jnp.where(cont, c1s, attack)
-
-        def do_pop(args):
-            st_n, cid_n, plb_n, atk_n = args
-            for lane in range(L):
-                take = pop[lane, 0]
-                idx = spm[lane, 0]
-                st_l = sst[lane, pl.ds(idx, 1), :]
-                cid_l = scid[lane, pl.ds(idx, 1), :]
-                plb_l = splb[lane, pl.ds(idx, 1), :]
-                atk_l = satk[lane, 0, pl.ds(idx, 1)]
-                st_n = jnp.where(
-                    take, st_n.at[lane:lane + 1, :].set(st_l), st_n)
-                cid_n = jnp.where(
-                    take, cid_n.at[lane:lane + 1, :].set(cid_l), cid_n)
-                plb_n = jnp.where(
-                    take, plb_n.at[lane:lane + 1, :].set(plb_l), plb_n)
-                atk_n = jnp.where(
-                    take, atk_n.at[lane, 0:1].set(atk_l), atk_n)
-            return st_n, cid_n, plb_n, atk_n
-
-        st_n, cid_n, plb_n, atk_n = jax.lax.cond(
-            any_pop, do_pop, lambda a: a, (st_n, cid_n, plb_n, atk_n))
+        st_n = jnp.where(pop, st_l, st_n)
+        cid_n = jnp.where(pop, cid_l, cid_n)
+        plb_n = jnp.where(pop, plb_l, plb_n)
+        atk_n = jnp.where(pop, atk_l, atk_n)
 
         sp_n = jnp.where(pop, sp1 - 1, sp1)
         status_n = jnp.where(

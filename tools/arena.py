@@ -91,6 +91,66 @@ def build_move_fn(model_cfg, temperature=0.7, cutoff=0.5):
     return move_fn, territory
 
 
+def build_search_move_fn(model_cfg, rollouts, temperature=0.7, cutoff=0.5,
+                         temperature_moves=8):
+    """MCTS move function: each side searches with ITS OWN net.
+
+    The search-play Elo the reference's strength story is based on
+    (`README.md:80-93`, CGOS games are engine searches, not raw policy).
+    Each move runs a fresh batched search; the leaf predictor evaluates
+    both nets and selects per game by which player is to move at the root
+    (both nets pay the forward cost — fine for rating runs).  First
+    ``temperature_moves`` moves sample with temperature for opening
+    diversity, then LCB-greedy like GTP play.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from dream_go_tpu.config import SearchConfig
+    from dream_go_tpu.go import benson as bn
+    from dream_go_tpu.go import engine
+    from dream_go_tpu.mcts import search as S
+    from dream_go_tpu.models import tower as T
+
+    scfg = SearchConfig(num_rollout=rollouts,
+                        ladder_features=model_cfg.ladder_features,
+                        ).resolve_auto()
+
+    def net(params, feats):
+        out, _ = T.apply_tower(model_cfg, params, None, feats,
+                               train=False, folded=True)
+        return ((out.value + 1.0) * 0.5,
+                jax.nn.softmax(out.policy_logits, axis=-1))
+
+    @jax.jit
+    def move_fn(wa, wb, states, rng):
+        b = states.stones.shape[0]
+        a_black = (jnp.arange(b) % 2) == 0
+        a_to_search = jnp.where(a_black, states.to_move == 1,
+                                states.to_move == 2)
+
+        def predictor(feats):
+            va, pa = net(wa, feats)
+            vb, pb = net(wb, feats)
+            return (jnp.where(a_to_search, va, vb),
+                    jnp.where(a_to_search[:, None], pa, pb))
+
+        scorable = jax.vmap(bn.is_scorable)(states)
+        use_scoring = ~scorable & ~states.done
+        k_search, k_move = jax.random.split(rng)
+        trees = S.search(states, predictor, k_search, scfg, rollouts,
+                         use_scoring, adaptive=scfg.adaptive)
+        temp = jnp.where(states.move_count < temperature_moves,
+                         jnp.float32(temperature), 0.0)
+        move, value = jax.vmap(
+            lambda t, r, tm: S.best_move(t, r, scfg, tm)
+        )(trees, jax.random.split(k_move, b), temp)
+        move = jnp.where(states.done, engine.PASS, move)
+        return engine.step_batch(states, move.astype(jnp.int32)), move, value
+
+    return move_fn
+
+
 def play_pair(move_fn, territory_fn, wa, wb, name_a, name_b, games, seed,
               komi=7.5, max_moves=722):
     """SGF lines for `games` lockstep games of A vs B (colors alternate)."""
@@ -160,6 +220,12 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--sgf-out", help="also write match SGF lines here")
+    ap.add_argument("--rollouts", type=int, default=0,
+                    help="rate by MCTS play with this many rollouts/move "
+                         "instead of raw policy sampling (the reference's "
+                         "strength story is search play, README.md:80-93)")
+    ap.add_argument("--gens", help="comma-separated generation numbers to "
+                                   "rate (default: all weights_*.json)")
     args = ap.parse_args()
 
     import jax
@@ -167,11 +233,18 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     gens = load_gen_weights(args.out_dir)
+    if args.gens:
+        want = {int(g) for g in args.gens.split(",")}
+        gens = [g for g in gens if g[0] in want]
     if len(gens) < 2:
         print("need >= 2 generations", file=sys.stderr)
         return 1
     model_cfg = gens[0][2]
-    move_fn, territory_fn = build_move_fn(model_cfg)
+    if args.rollouts > 0:
+        move_fn = build_search_move_fn(model_cfg, args.rollouts)
+        _, territory_fn = build_move_fn(model_cfg)
+    else:
+        move_fn, territory_fn = build_move_fn(model_cfg)
 
     pairs = []
     for (i, (gi, *_)), (j, (gj, *_)) in itertools.combinations(
