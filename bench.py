@@ -26,6 +26,15 @@ def main():
 
     if "--cpu" in sys.argv:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # persistent compile cache: measured rates are post-warmup either
+        # way, this only keeps repeat runs from paying the remote compile
+        # service minutes per program (cli.py semantics)
+        import os
+        cache = os.environ.get("DG_COMPILE_CACHE",
+                               "/tmp/dream_go_tpu_jax_cache_tpu")
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     import jax.numpy as jnp
     import numpy as np
 
@@ -116,6 +125,79 @@ def main():
     except Exception as e:  # secondary metrics must not break the bench
         print(f"forward bench skipped: {e}", file=sys.stderr)
 
+    # full-search production throughput (the reference's true headline is
+    # GAMES/s: ~0.02 games/s at 1600 rollouts, `README.md:61-64`).  Two
+    # always-on numbers land in the JSON line:
+    #   mcts_sims_per_sec      raw fused-search simulation rate (9x128 net)
+    #   selfplay_games_per_sec sustained continuous-batching self-play rate
+    #                          (1600 rollouts, winrate budgets, EARLY-C)
+    mcts_sims_per_sec = None
+    selfplay_games_per_sec = None
+    if on_tpu and "--no-selfplay" not in sys.argv:
+        try:
+            from dream_go_tpu.config import (ModelConfig, SearchConfig,
+                                             SelfPlayConfig)
+            from dream_go_tpu.mcts import search as S
+            from dream_go_tpu.mcts.predictor import net_predictor
+            from dream_go_tpu.models import tower as T
+
+            mcfg = ModelConfig()
+            mp, mstats = T.init_tower(mcfg, jax.random.PRNGKey(0))
+            pred = net_predictor(mcfg, mp, mstats)
+
+            # raw fused-search sims/s (batch 1024, fixed 16-sim chunks)
+            mb, sims, reps = 1024, 16, 5
+            scfg = SearchConfig(fused=True, adaptive=False).resolve_auto()
+            mstates = engine.new_states(mb)
+            trees = jax.jit(lambda st, r: S.init_trees(
+                st, pred, r, scfg, sims * (reps + 2) + 1, None))(
+                mstates, jax.random.PRNGKey(0))
+            run = jax.jit(lambda t: S.run_search(t, pred, scfg, sims, None))
+            trees = run(trees)
+            int(np.asarray(jnp.sum(trees.node_n)))
+            times = []
+            for _ in range(reps):
+                t0 = time.time()
+                trees = run(trees)
+                int(np.asarray(jnp.sum(trees.node_n)))
+                times.append(time.time() - t0)
+            mcts_sims_per_sec = mb * sims / float(np.median(times))
+            print(f"mcts simulations/s (9x128, fused, batch {mb}): "
+                  f"{mcts_sims_per_sec:,.0f}", file=sys.stderr)
+            del trees
+
+            # sustained games/s: continuous batching in a fixed window.
+            # steady rate = completions after the ramp (the first games of a
+            # cold batch take a full game length to finish).
+            import re as _re
+
+            from dream_go_tpu.selfplay.search_play import (
+                search_self_play_continuous)
+            sp_batch, window_s, ramp_games = 256, 300.0, 8
+            sp = SelfPlayConfig(num_games=100_000, num_rollout=1600)
+            ssc = SearchConfig(num_rollout=1600).resolve_auto()
+            game_times = []
+            t0 = time.time()
+            games = search_self_play_continuous(
+                pred, sp, ssc, seed=0, batch=sp_batch,
+                game_times=game_times, deadline_s=window_s)
+            dt = time.time() - t0
+            sims_tv = sum(int(m) for g in games
+                          for m in _re.findall(r"TV\[(\d+)\]", g))
+            if len(game_times) > ramp_games + 1:
+                w = game_times[ramp_games:]
+                span = max(w[-1] - w[0], 1e-9)
+                selfplay_games_per_sec = (len(w) - 1) / span
+            elif games:
+                selfplay_games_per_sec = len(games) / dt
+            print(f"selfplay: {len(games)} games in {dt:.0f}s "
+                  f"(batch {sp_batch}, 1600 rollouts, charged sims "
+                  f"{sims_tv:,}); steady "
+                  f"{selfplay_games_per_sec or 0:.3f} games/s",
+                  file=sys.stderr)
+        except Exception as e:  # secondary metrics must not break the bench
+            print(f"selfplay bench skipped: {e}", file=sys.stderr)
+
     # --full: the reference's remaining --bench categories (`src/dg/bench/`):
     # SGF parse/s, feature extraction/s, MCTS simulations/s
     if "--full" in sys.argv:
@@ -202,12 +284,20 @@ def main():
         except Exception as e:
             print(f"genmove bench skipped: {e}", file=sys.stderr)
 
-    print(json.dumps({
+    line = {
         "metric": "env_steps_per_sec_per_chip",
         "value": round(steps_per_s, 1),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_s / 100_000.0, 3),
-    }))
+    }
+    if mcts_sims_per_sec is not None:
+        line["mcts_sims_per_sec"] = round(mcts_sims_per_sec, 1)
+    if selfplay_games_per_sec is not None:
+        # reference: ~0.02 games/s full search (README.md:61-64)
+        line["selfplay_games_per_sec"] = round(selfplay_games_per_sec, 4)
+        line["selfplay_vs_reference"] = round(
+            selfplay_games_per_sec / 0.02, 1)
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

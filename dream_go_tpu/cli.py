@@ -116,15 +116,16 @@ def main(argv=None):
     parser.add_argument("--komi", type=float, default=7.5)
     parser.add_argument("--ladder-features", action="store_true",
                         default=None, dest="ladder_features",
-                        help="compute ladder planes 30/31 (the default, as "
-                             "in the reference; greedy single-line reader — "
-                             "see ARCHITECTURE.md).  Unset: follow the "
-                             "loaded net's input contract (the "
-                             "ladder_features:0 tensor of the weights JSON)")
+                        help="compute ladder planes 30/31 (the reference "
+                             "always does; here they default OFF — measured "
+                             "+199%% fused-search cost, ARCHITECTURE.md "
+                             "'Ladder planes').  Unset: follow the loaded "
+                             "net's input contract (the ladder_features:0 "
+                             "tensor of the weights JSON)")
     parser.add_argument("--no-ladder-features", action="store_false",
                         default=None, dest="ladder_features",
-                        help="skip ladder planes (faster; use for nets "
-                             "trained without them)")
+                        help="skip ladder planes even if the loaded net's "
+                             "contract enables them")
     parser.add_argument("--max-moves", type=int, default=None,
                         help="self-play: cap game length (default: engine "
                              "limit, 722 as in the reference)")
@@ -291,7 +292,7 @@ def _run(args):
     predictor = _load_predictor(args)
     run_server(GtpEngine(
         predictor, _search_cfg(args, adaptive_ok=False),
-        num_rollout=args.num_rollout, ponder=args.ponder))
+        num_rollout=args.num_rollout, ponder=args.ponder, seed=args.seed))
 
 
 def _rl_loop(args):

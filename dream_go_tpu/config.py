@@ -113,15 +113,17 @@ class SearchConfig:
     ladder_features: bool = False      # feature planes 30/31.  The reference
     #                                    always computes them (features.rs:
     #                                    101-148); here they default OFF as a
-    #                                    measured disposition: the vectorized
-    #                                    chase costs ~11 ms/board at batch
-    #                                    1024 on a v5e (tools/profile_ladder
-    #                                    .py) — 300x a leaf step — so the
-    #                                    default training contract excludes
-    #                                    them and the weights JSON carries
-    #                                    the flag either way.  Serving a net
-    #                                    whose contract includes them flips
-    #                                    this on automatically (cli).
+    #                                    measured disposition: with the exact
+    #                                    Pallas kernel in the fused flagship
+    #                                    search the chip runs 9.7k sims/s vs
+    #                                    28.9k without planes (+199%,
+    #                                    tools/measure_ladder_cost.py) — so
+    #                                    the default training contract
+    #                                    excludes them and the weights JSON
+    #                                    carries the flag either way.
+    #                                    Serving a net whose contract
+    #                                    includes them flips this on
+    #                                    automatically (cli).
     ladders_exact: bool | None = None  # exact branching DFS; False = greedy
     #                                    single line (97.9% per-candidate
     #                                    agreement on real games); None =

@@ -36,10 +36,17 @@ _VERSION = "0.1.0"
 class GtpEngine:
     def __init__(self, predictor: P.Predictor | None = None,
                  search_cfg: SearchConfig | None = None,
-                 num_rollout: int = 800, ponder: bool = False):
+                 num_rollout: int = 800, ponder: bool = False,
+                 seed: int = 0):
         self.predictor = predictor or P.random_predictor()
         self.search_cfg = search_cfg or SearchConfig()
         self.num_rollout = num_rollout
+        # seed >= 0: deterministic per-move keys (fold_in counter) so a game
+        # replays bit-identically — sanity tests and debugging rely on it.
+        # seed < 0: wall-clock keys (maximum opening diversity for rated
+        # play, the reference's thread-timing nondeterminism analogue).
+        self.seed = seed
+        self._genmove_count = 0
         self.komi = 7.5
         self.history: list[go.GoState] = [go.new_state(self.komi)]
         self.time_settings = TimeSettings()
@@ -171,8 +178,13 @@ class GtpEngine:
                                            self.search_cfg, sims,
                                            use_scoring, capacity=capacity))
             ts = _time.time()
-            trees = jax.block_until_ready(self._search_fn[key](
-                states, jax.random.PRNGKey(int(_time.time() * 1e3) % (2**31))))
+            if self.seed >= 0:
+                rng = jax.random.fold_in(jax.random.PRNGKey(self.seed),
+                                         self._genmove_count)
+            else:
+                rng = jax.random.PRNGKey(int(_time.time() * 1e3) % (2**31))
+            self._genmove_count += 1
+            trees = jax.block_until_ready(self._search_fn[key](states, rng))
             self._record_rate(key, sims, _time.time() - ts)
         trees = self._maybe_extend(trees, color, sims, cleanup)
         move, value = self._jit_best(
@@ -192,7 +204,9 @@ class GtpEngine:
     def _status(self):
         state = self.state
         states = jax.tree_util.tree_map(lambda x: x[None], state)
-        finished = greedy_rollout(states, self.predictor, max_moves=722)
+        finished = greedy_rollout(
+            states, self.predictor, max_moves=722,
+            ladder_features=self.search_cfg.ladder_features)
         status, terr = jax.vmap(bn.stone_status)(
             states.stones, states.chain_id,
             finished.stones, finished.chain_id)

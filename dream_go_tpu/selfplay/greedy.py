@@ -18,12 +18,18 @@ from ..mcts.predictor import Predictor
 
 
 def greedy_rollout(states: engine.GoState, predictor: Predictor,
-                   max_moves: int = 722) -> engine.GoState:
-    """Batched greedy play until every board is scorable (or the cap)."""
+                   max_moves: int = 722,
+                   ladder_features: bool = False) -> engine.GoState:
+    """Batched greedy play until every board is scorable (or the cap).
+
+    ``ladder_features`` must match the predictor's input contract — a net
+    trained with planes 30/31 sees garbage (zeros) otherwise, skewing the
+    dead-stone cleanup the final score depends on.
+    """
 
     def step_fn(carry):
         states, done, n = carry
-        feats = jax.vmap(features.features_v1)(states)
+        feats = features.extract_batch(states, "v1", ladder_features)
         _, policy = predictor(feats)
         mask = jax.vmap(scoring_mask)(states)
         masked = jnp.where(mask, policy, -jnp.inf)
@@ -47,9 +53,11 @@ def greedy_rollout(states: engine.GoState, predictor: Predictor,
     return out
 
 
-def greedy_score(states: engine.GoState, predictor: Predictor) -> jax.Array:
+def greedy_score(states: engine.GoState, predictor: Predictor,
+                 ladder_features: bool = False) -> jax.Array:
     """f32[B]: black-minus-white-minus-komi after greedy completion +
     Benson clearing (`get_guess_score`)."""
-    finished = greedy_rollout(states, predictor)
+    finished = greedy_rollout(states, predictor,
+                              ladder_features=ladder_features)
     return jax.vmap(bn.guess_score)(finished.stones, finished.chain_id,
                                     states.komi)

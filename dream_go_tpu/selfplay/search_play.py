@@ -196,7 +196,8 @@ def search_self_play_continuous(predictor: Predictor, cfg: SelfPlayConfig,
                                 refill_every: int = 8,
                                 sym_average: bool = False,
                                 sharding=None,
-                                game_times: list | None = None) -> list[str]:
+                                game_times: list | None = None,
+                                deadline_s: float | None = None) -> list[str]:
     """Full-search self-play with continuous batching: finished games are
     replaced by fresh ones so the device batch stays full of live games.
 
@@ -211,6 +212,10 @@ def search_self_play_continuous(predictor: Predictor, cfg: SelfPlayConfig,
     ``cfg.num_games`` games have completed and returns their SGF lines —
     the sustained-throughput (games/s) mode used for production self-play
     and the bench.
+
+    ``deadline_s`` (optional) stops the loop after that many wall seconds
+    even if fewer than ``cfg.num_games`` games completed — the bench's
+    fixed-window mode (completed games are still returned).
     """
     search_cfg = search_cfg or SearchConfig()
     if sym_average:
@@ -280,7 +285,10 @@ def search_self_play_continuous(predictor: Predictor, cfg: SelfPlayConfig,
             records = records[lo - rec_base:]
             rec_base = lo
 
-    while len(games) < cfg.num_games and move_i < max_total:
+    t_deadline = None if deadline_s is None \
+        else time.monotonic() + deadline_s
+    while len(games) < cfg.num_games and move_i < max_total and (
+            t_deadline is None or time.monotonic() < t_deadline):
         key, sub = jax.random.split(key)
         active = ~np.asarray(states.done)
         to_move = np.asarray(states.to_move)

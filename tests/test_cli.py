@@ -105,3 +105,7 @@ def test_search_cfg_auto_knobs_respect_opt_outs(monkeypatch):
     explicit = SearchConfig(fused=False, adaptive=False).resolve_auto()
     assert explicit.fused is False and explicit.adaptive is False
     assert SearchConfig().resolve_auto().fused is True
+    # ladders_exact auto: exact on tpu (Pallas kernel), explicit wins
+    assert SearchConfig().resolve_auto().ladders_exact is True
+    assert SearchConfig(ladders_exact=False).resolve_auto() \
+        .ladders_exact is False

@@ -42,12 +42,21 @@ def main() -> int:
     ap.add_argument("--capacity", type=int, default=0,
                     help="tree node cap (0: 2*rollout reuse default)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--deadline", type=float, default=None,
+                    help="stop after this many wall seconds even if fewer "
+                         "games completed (fixed-window mode)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        import os as _os
+        cache = _os.environ.get("DG_COMPILE_CACHE",
+                                "/tmp/dream_go_tpu_jax_cache_tpu")
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     import jax.numpy as jnp
 
     from dream_go_tpu.config import (ModelConfig, SearchConfig,
@@ -82,7 +91,8 @@ def main() -> int:
     t0 = time.time()
     games = search_self_play_continuous(predictor, sp, sc, seed=args.seed,
                                         batch=args.batch,
-                                        game_times=game_times)
+                                        game_times=game_times,
+                                        deadline_s=args.deadline)
     dt = time.time() - t0
 
     sims = sum(int(m) for g in games for m in _TV_RE.findall(g))

@@ -70,6 +70,13 @@ def main():
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # persistent compile cache (cli.py semantics): repeat measurements
+        # skip the remote compile service
+        cache = os.environ.get("DG_COMPILE_CACHE",
+                               "/tmp/dream_go_tpu_jax_cache_tpu")
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     from dream_go_tpu.config import ModelConfig, SearchConfig
     from dream_go_tpu.mcts.predictor import net_predictor
