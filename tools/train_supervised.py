@@ -103,6 +103,16 @@ def main() -> int:
             out.flush()
         print(line, file=sys.stderr)
 
+    def dump_now():
+        if not args.dump:
+            return
+        from dream_go_tpu.models import params as MP
+        tmp = args.dump + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(MP.dump_json(trainer.model_cfg, trainer.dump_params(),
+                                  trainer.state.batch_stats))
+        os.replace(tmp, args.dump)
+
     step = 0
     while step < args.steps:
         chunk = min(args.eval_every, args.steps - step)
@@ -114,6 +124,9 @@ def main() -> int:
               **{k: round(float(v), 4) for k, v in last.items()}})
         emit({"step": step, "split": "holdout",
               **{k: round(float(v), 4) for k, v in hold.items()}})
+        # dump at every eval: a wedged device call (remote tunnel) then
+        # costs at most one eval interval, not the whole run
+        dump_now()
         if trainer.scheduler.should_stop:
             print("plateau scheduler stop", file=sys.stderr)
             break
@@ -121,10 +134,7 @@ def main() -> int:
         out.close()
 
     if args.dump:
-        from dream_go_tpu.models import params as MP
-        with open(args.dump, "w") as fh:
-            fh.write(MP.dump_json(trainer.model_cfg, trainer.dump_params(),
-                                  trainer.state.batch_stats))
+        dump_now()
         print(f"dumped weights to {args.dump}", file=sys.stderr)
     return 0
 
