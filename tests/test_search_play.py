@@ -44,3 +44,16 @@ def test_continuous_batching_produces_legal_complete_games():
             assert board.is_legal(mv.color, mv.point), (mv.color, mv.point)
             board.play(mv.point)
             assert mv.policy is not None and mv.value is not None
+
+
+def test_continuous_deadline_stops_early():
+    """``deadline_s`` (the bench's fixed-window mode) returns the games
+    completed so far instead of running to ``num_games``."""
+    cfg = SelfPlayConfig(num_games=10_000, num_rollout=4, max_moves=10,
+                         winrate_rollouts=False)
+    games = search_self_play_continuous(
+        P.random_predictor(), cfg, SearchConfig(num_rollout=4), seed=5,
+        batch=2, refill_every=2, deadline_s=5.0)
+    assert len(games) < 10_000  # stopped by the clock, not the target
+    for line in games:
+        assert sgf.parse_line(line) is not None
