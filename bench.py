@@ -173,23 +173,54 @@ def main():
 
             from dream_go_tpu.selfplay.search_play import (
                 search_self_play_continuous)
-            sp_batch, window_s, ramp_games = 256, 300.0, 8
+            window_s, ramp_games = 300.0, 8
             sp = SelfPlayConfig(num_games=100_000, num_rollout=1600)
             ssc = SearchConfig(num_rollout=1600).resolve_auto()
-            game_times = []
-            t0 = time.time()
-            games = search_self_play_continuous(
-                pred, sp, ssc, seed=0, batch=sp_batch,
-                game_times=game_times, deadline_s=window_s)
+            # batch 256 compiles 13.8MB over the 15.75G v5e HBM budget with
+            # the 9x128 net resident; step down until the program fits
+            games, sstats = None, {}
+            for sp_batch in (192, 128, 64):
+                game_times, sstats = [], {}
+                t0 = time.time()
+                try:
+                    games = search_self_play_continuous(
+                        pred, sp, ssc, seed=0, batch=sp_batch,
+                        game_times=game_times, deadline_s=window_s,
+                        stats=sstats)
+                    break
+                except Exception as oom:
+                    print(f"selfplay batch {sp_batch} failed ({oom}); "
+                          "retrying smaller", file=sys.stderr)
+            if games is None:
+                raise RuntimeError("no self-play batch size fit")
             dt = time.time() - t0
             sims_tv = sum(int(m) for g in games
                           for m in _re.findall(r"TV\[(\d+)\]", g))
             if len(game_times) > ramp_games + 1:
+                # enough in-window completions for a direct measurement
                 w = game_times[ramp_games:]
                 span = max(w[-1] - w[0], 1e-9)
                 selfplay_games_per_sec = (len(w) - 1) / span
-            elif games:
-                selfplay_games_per_sec = len(games) / dt
+            else:
+                # a cold batch needs a full game length (~hours at 1600
+                # rollouts) before its FIRST completion, so a fixed window
+                # sees zero finishes; in steady state completions/s =
+                # aggregate moves/s / mean game length.  Mean length 452
+                # measured over 768 production games (models/rl20
+                # gen_00{00,46,47}.sgf, play-to-scorable, reference
+                # termination semantics).
+                MEAN_GAME_LEN = 452.0
+                ev = sstats.get("move_events", [])
+                if len(ev) >= 4:
+                    # drop the first iteration (compile + first search)
+                    span = max(ev[-1][0] - ev[1][0], 1e-9)
+                    moves = sum(e[1] for e in ev[2:])
+                    moves_per_s = moves / span
+                    selfplay_games_per_sec = moves_per_s / MEAN_GAME_LEN
+                    print(f"selfplay window: {len(ev)} search moves, "
+                          f"{moves_per_s:.2f} moves/s aggregate "
+                          f"(charged sims {sum(e[2] for e in ev[2:]):,})",
+                          file=sys.stderr)
             print(f"selfplay: {len(games)} games in {dt:.0f}s "
                   f"(batch {sp_batch}, 1600 rollouts, charged sims "
                   f"{sims_tv:,}); steady "

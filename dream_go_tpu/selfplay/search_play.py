@@ -197,7 +197,8 @@ def search_self_play_continuous(predictor: Predictor, cfg: SelfPlayConfig,
                                 sym_average: bool = False,
                                 sharding=None,
                                 game_times: list | None = None,
-                                deadline_s: float | None = None) -> list[str]:
+                                deadline_s: float | None = None,
+                                stats: dict | None = None) -> list[str]:
     """Full-search self-play with continuous batching: finished games are
     replaced by fresh ones so the device batch stays full of live games.
 
@@ -216,6 +217,15 @@ def search_self_play_continuous(predictor: Predictor, cfg: SelfPlayConfig,
     ``deadline_s`` (optional) stops the loop after that many wall seconds
     even if fewer than ``cfg.num_games`` games completed — the bench's
     fixed-window mode (completed games are still returned).
+
+    ``stats`` (optional dict) receives ``move_events``: one
+    ``(monotonic_time, active_games, charged_sims)`` tuple per search-move
+    iteration, appended after the device sync.  A cold batch takes a full
+    game length (~hours at 1600 rollouts) before its first completion, so
+    a fixed-window bench observes zero completions; the steady-state rate
+    is still fully determined by the aggregate move rate (completions/s =
+    moves/s ÷ mean game length in steady state), which these events
+    measure directly.
     """
     search_cfg = search_cfg or SearchConfig()
     if sym_average:
@@ -309,6 +319,10 @@ def search_self_play_continuous(predictor: Predictor, cfg: SelfPlayConfig,
         fresh_mask[:] = False
         prev_move = move
         value = np.asarray(value)
+        if stats is not None:
+            stats.setdefault("move_events", []).append(
+                (time.monotonic(), int(active.sum()),
+                 int(budget[active].sum()) if active.any() else 0))
         if cfg.winrate_rollouts:
             col = np.maximum(to_move, 1) - 1
             upd = winrate[rows, col] - cfg.winrate_momentum * (
