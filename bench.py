@@ -122,6 +122,7 @@ def main():
         fps = fwd_batch * n / (time.time() - t0)
         print(f"nn forward/s (9x128, batch {fwd_batch}): {fps:,.0f}",
               file=sys.stderr)
+        del params, stats, x, r
     except Exception as e:  # secondary metrics must not break the bench
         print(f"forward bench skipped: {e}", file=sys.stderr)
 
@@ -176,8 +177,11 @@ def main():
             window_s, ramp_games = 300.0, 8
             sp = SelfPlayConfig(num_games=100_000, num_rollout=1600)
             ssc = SearchConfig(num_rollout=1600).resolve_auto()
-            # batch 256 compiles 13.8MB over the 15.75G v5e HBM budget with
-            # the 9x128 net resident; step down until the program fits
+            # batch 256's program alone needs 15.76G — 13.8MB over the
+            # 15.75G v5e HBM budget even with every earlier-stage buffer
+            # freed — so 192 is the largest 1600-rollout configuration
+            # that fits next to the 9x128 net; still step down on failure
+            del states, weights
             games, sstats = None, {}
             for sp_batch in (192, 128, 64):
                 game_times, sstats = [], {}

@@ -51,9 +51,19 @@ def test_continuous_deadline_stops_early():
     completed so far instead of running to ``num_games``."""
     cfg = SelfPlayConfig(num_games=10_000, num_rollout=4, max_moves=10,
                          winrate_rollouts=False)
+    stats = {}
     games = search_self_play_continuous(
         P.random_predictor(), cfg, SearchConfig(num_rollout=4), seed=5,
-        batch=2, refill_every=2, deadline_s=5.0)
+        batch=2, refill_every=2, deadline_s=5.0, stats=stats)
     assert len(games) < 10_000  # stopped by the clock, not the target
     for line in games:
         assert sgf.parse_line(line) is not None
+    # the bench's steady-state instrumentation: one (time, active games,
+    # charged sims) event per search move, monotone in time
+    events = stats["move_events"]
+    assert len(events) >= 1
+    times = [t for t, _, _ in events]
+    assert times == sorted(times)
+    for _, active, charged in events:
+        assert 0 <= active <= 2
+        assert charged == active * cfg.num_rollout
