@@ -849,14 +849,18 @@ def search_with_reuse(states: GoState, prev_trees: Tree,
                       rng: jax.Array, cfg: SearchConfig, num_sims: int,
                       use_scoring: jax.Array | None = None,
                       budget: jax.Array | None = None,
-                      fresh_mask: jax.Array | None = None) -> Tree:
+                      fresh_mask: jax.Array | None = None,
+                      adaptive: bool = False) -> Tree:
     """Search reusing each game's subtree under the move just played.
 
     ``prev_trees`` must have capacity >= num_sims + largest reused subtree;
     allocate with ``search(..., capacity=2*num_sims)`` style via init_trees.
     ``fresh_mask`` (bool[B]) forces a fresh tree for slots whose game was
     just replaced (continuous self-play batching) — their previous tree
-    belongs to a different game.
+    belongs to a different game.  ``adaptive`` routes through the chunked
+    EARLY-C loop (`run_search_adaptive`) so a batch whose budgets are all
+    spent — or whose searches are all decided — exits before ``num_sims``
+    trip counts, exactly as the first (fresh-tree) move does.
     """
     batch = states.stones.shape[0]
     k_fresh, k_noise = jax.random.split(rng)
@@ -873,6 +877,9 @@ def search_with_reuse(states: GoState, prev_trees: Tree,
         return jnp.where(v, a, b)
 
     trees = jax.tree_util.tree_map(pick, reused, fresh)
+    if adaptive:
+        return run_search_adaptive(trees, predictor, cfg, num_sims,
+                                   use_scoring, budget=budget)
     return run_search(trees, predictor, cfg, num_sims, use_scoring,
                       budget=budget)
 

@@ -39,6 +39,63 @@ from .policy import _final_territory, random_komi
 from .records import Played, game_result_sgf
 
 
+def _finish_move(search_cfg: SearchConfig, temperature_moves: int,
+                 states: engine.GoState, trees, k_move: jax.Array):
+    """Pick moves from searched trees and step the boards (shared by the
+    full-batch and bucketed move paths)."""
+    temp = jnp.where(states.move_count < temperature_moves,
+                     jnp.float32(search_cfg.temperature), 0.0)
+    batch = states.stones.shape[0]
+    move, value = jax.vmap(
+        lambda t, r, tm: S.best_move(t, r, search_cfg, tm)
+    )(trees, jax.random.split(k_move, batch), temp)
+    move = jnp.where(states.done, engine.PASS, move)
+    targets = jax.vmap(S.softmax_targets)(trees)
+    new_states = engine.step_batch(states, move)
+    return new_states, trees, move, value, targets
+
+
+def _build_bucket_step_fn(predictor: Predictor, search_cfg: SearchConfig,
+                          num_sims: int, temperature_moves: int):
+    """One jitted step over a SUB-batch of games, gathered from / scattered
+    back into the canonical full-batch state by index.
+
+    Lockstep search wall time per move is set by the slowest game in the
+    call: one even game at full budget gates every budget-capped game in
+    the batch (`run_search_adaptive` exits only when ALL games are done).
+    Sorting games by their winrate-scaled budget each move and searching
+    contiguous sub-batches restores the reference's per-game budget saving
+    (`self_play.rs:218-241`) as real wall time: a sub-batch of lopsided
+    games exits its while_loop at ITS max budget, not the batch's.  Shapes
+    stay static (one compiled program, called once per bucket with a
+    different index vector)."""
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def bucket_step(states_all: engine.GoState, trees_all,
+                    prev_move_all: jax.Array, fresh_all: jax.Array,
+                    idx: jax.Array, rng: jax.Array, budget_all: jax.Array):
+        take = lambda x: jnp.take(x, idx, axis=0)
+        states = jax.tree_util.tree_map(take, states_all)
+        trees = jax.tree_util.tree_map(take, trees_all)
+        scorable = jax.vmap(bn.is_scorable)(states)
+        use_scoring = ~scorable & ~states.done
+        k_search, k_move = jax.random.split(rng)
+        trees = S.search_with_reuse(
+            states, trees, jnp.take(prev_move_all, idx), predictor,
+            k_search, search_cfg, num_sims, use_scoring,
+            budget=jnp.take(budget_all, idx),
+            fresh_mask=jnp.take(fresh_all, idx),
+            adaptive=search_cfg.adaptive)
+        new_states, trees, move, value, targets = _finish_move(
+            search_cfg, temperature_moves, states, trees, k_move)
+        put = lambda big, small: big.at[idx].set(small)
+        states_all = jax.tree_util.tree_map(put, states_all, new_states)
+        trees_all = jax.tree_util.tree_map(put, trees_all, trees)
+        return states_all, trees_all, move, value, targets
+
+    return bucket_step
+
+
 def _build_search_move_fn(predictor: Predictor, search_cfg: SearchConfig,
                           num_sims: int, temperature_moves: int,
                           tree_reuse: bool = True):
@@ -55,16 +112,8 @@ def _build_search_move_fn(predictor: Predictor, search_cfg: SearchConfig,
         capacity = 2 * num_sims + 8 if tree_reuse else num_sims + 1
 
     def finish(states, trees, k_move):
-        temp = jnp.where(states.move_count < temperature_moves,
-                         jnp.float32(search_cfg.temperature), 0.0)
-        batch = states.stones.shape[0]
-        move, value = jax.vmap(
-            lambda t, r, tm: S.best_move(t, r, search_cfg, tm)
-        )(trees, jax.random.split(k_move, batch), temp)
-        move = jnp.where(states.done, engine.PASS, move)
-        targets = jax.vmap(S.softmax_targets)(trees)
-        new_states = engine.step_batch(states, move)
-        return new_states, trees, move, value, targets
+        return _finish_move(search_cfg, temperature_moves, states, trees,
+                            k_move)
 
     @jax.jit
     def first_move_fn(states: engine.GoState, rng: jax.Array,
@@ -90,7 +139,8 @@ def _build_search_move_fn(predictor: Predictor, search_cfg: SearchConfig,
         trees = S.search_with_reuse(states, trees, prev_move, predictor,
                                     k_search, search_cfg, num_sims,
                                     use_scoring, budget=budget,
-                                    fresh_mask=fresh_mask)
+                                    fresh_mask=fresh_mask,
+                                    adaptive=search_cfg.adaptive)
         return finish(states, trees, k_move)
 
     if not tree_reuse:
@@ -198,7 +248,8 @@ def search_self_play_continuous(predictor: Predictor, cfg: SelfPlayConfig,
                                 sharding=None,
                                 game_times: list | None = None,
                                 deadline_s: float | None = None,
-                                stats: dict | None = None) -> list[str]:
+                                stats: dict | None = None,
+                                budget_buckets: int = 1) -> list[str]:
     """Full-search self-play with continuous batching: finished games are
     replaced by fresh ones so the device batch stays full of live games.
 
@@ -242,6 +293,14 @@ def search_self_play_continuous(predictor: Predictor, cfg: SelfPlayConfig,
     first_fn, reuse_fn = _build_search_move_fn(
         predictor, search_cfg, cfg.num_rollout, cfg.temperature_moves,
         tree_reuse=True)
+    # budget-sorted sub-batch execution (see _build_bucket_step_fn): only
+    # meaningful when budgets diverge, and needs even sub-batches
+    n_buckets = budget_buckets if (budget_buckets > 1
+                                   and cfg.winrate_rollouts
+                                   and batch % budget_buckets == 0) else 1
+    bucket_fn = _build_bucket_step_fn(
+        predictor, search_cfg, cfg.num_rollout,
+        cfg.temperature_moves) if n_buckets > 1 else None
     key = jax.random.PRNGKey(seed)
 
     winrate = np.full((batch, 2), 0.5, np.float32)
