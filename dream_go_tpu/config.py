@@ -135,6 +135,27 @@ class SearchConfig:
     #                                    planes 30/31 under one semantics.
     adaptive: bool | None = None       # EARLY-C chunked early termination;
     #                                    None = auto (on for tpu backend)
+    children_slots: int = 32           # sparse child slots per non-root tree
+    #                                    node.  The reference stores full
+    #                                    prior[368] per node but keeps edges
+    #                                    in an 8-slot sparse table until
+    #                                    promotion (`tree.rs:535-991`); here
+    #                                    the root is always "promoted"
+    #                                    (full-width arrays) and non-root
+    #                                    nodes never are — 32 slots cover
+    #                                    the fan-out a non-root node reaches
+    #                                    in practice, and a re-rooted child
+    #                                    regains full width every move.
+    reuse_budget: bool = True          # reference RolloutLimit semantics
+    #                                    (`rollout_limit.rs:18-45` compares
+    #                                    root.total_count to the limit): a
+    #                                    reused subtree's visits count
+    #                                    toward the per-move budget, so
+    #                                    reuse TOPS UP to num_rollout
+    #                                    instead of adding a full fresh
+    #                                    budget on top.  False restores the
+    #                                    round-4 behaviour (fresh budget
+    #                                    per move regardless of reuse).
     feature_kernel: bool = False       # Pallas liberties-after kernel (TPU)
     step_kernel: bool = False          # Pallas env-step for leaf expansion
     fused: bool | None = None          # fused leaf kernel (step+features+

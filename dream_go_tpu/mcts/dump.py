@@ -9,6 +9,7 @@ tree as an SGF variation tree after every move (`lib.rs:196-198`,
 
 from __future__ import annotations
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..utils import coords
@@ -17,18 +18,31 @@ from . import search as S
 
 
 def _tree_np(tree):
-    """Pull one game's tree to host numpy (tree must be unbatched)."""
+    """Pull one game's tree to host numpy (tree must be unbatched).
+
+    The device tree stores edges two-tier (full-width root + sparse child
+    slots, `search.Tree`); introspection densifies them back to one
+    ``children[N, A]`` table.
+    """
     if isinstance(tree.states, S.PackedStates):
         to_move = np.asarray(tree.states.meta[:, 0]).astype(np.int8)
     else:
         to_move = np.asarray(tree.states.to_move)
+    n = tree.node_n.shape[0]
+    children = np.full((n, S.A), -1, np.int32)
+    sa = np.asarray(tree.slot_action)
+    sc = np.asarray(tree.slot_child)
+    rows = np.repeat(np.arange(n), sa.shape[1])
+    occ = sa.ravel() >= 0
+    children[rows[occ], sa.ravel()[occ]] = sc.ravel()[occ]
+    children[0] = np.asarray(tree.root_child)
     return dict(
-        children=np.asarray(tree.children),
+        children=children,
         parent=np.asarray(tree.parent),
         node_n=np.asarray(tree.node_n),
         node_w=np.asarray(tree.node_w),
         node_m2=np.asarray(tree.node_m2),
-        prior=np.asarray(tree.prior),
+        prior=np.asarray(tree.prior.astype(jnp.float32)),
         size=int(np.asarray(tree.size)),
         to_move=to_move,
     )

@@ -10,6 +10,19 @@ virtual-loss-driven leaf batching (SURVEY §2.11 P1-P3): with one leaf per
 game per step there is no intra-tree contention, so no virtual loss, no
 spinlocks, no expanding-flag CAS.
 
+Tree memory layout mirrors the reference's two-tier children storage
+(`tree.rs:535-991`): every node stores its FULL prior row (`tree.rs:
+1070-1088` prior[368], here bf16) plus a candidacy bitset, but per-edge
+visit/value/child stats live in a small sparse slot table
+(``children_slots``, default 32 — the reference runs 8 ``SmallChildrenImpl``
+slots until promotion).  The root is permanently "promoted": full-width
+[362] child/visit/value arrays, since it takes the whole rollout budget and
+the Dirichlet noise.  Re-rooting densifies the new root's slots back to
+full width, so the slot cap never constrains the node currently receiving
+1600 visits.  This cuts per-node HBM ~2x vs dense [362]-wide edge arrays —
+the difference between batch 192 and batch 512+ fitting next to the
+flagship net on a 16G chip.
+
 Reference formula parity:
 - PUCT select (`tree.rs:63-114`): ``score = Q + prior * uct_exp(n) *
   sqrt(1+n) / (1+count)`` (count 0 -> bonus ``uct_exp*sqrt(1+n)``), with the
@@ -28,7 +41,7 @@ Reference formula parity:
 
 from __future__ import annotations
 
-import functools
+import dataclasses
 
 import jax
 import jax.numpy as jnp
@@ -43,6 +56,7 @@ from .choose import choose
 from .predictor import Predictor
 
 A = 362  # actions: 361 points + pass
+NCW = 12  # candidate bitset words (12 x 32 >= 362)
 MIN_LCB_VISITS = 80  # tree.rs:34
 MAX_BACKUP_DEPTH = 128  # select/backup path bound: the recorded chain (and
 #                         its per-sim gather/scatter width) stops here; a
@@ -138,31 +152,52 @@ def _states_to_move(states, n=None):
     return states.to_move if n is None else states.to_move[n]
 
 
+def pack_cand(c: jax.Array) -> jax.Array:
+    """bool[..., A] candidate mask -> uint32[..., NCW] bitset."""
+    pad = NCW * 32 - A
+    cp = jnp.concatenate(
+        [c, jnp.zeros(c.shape[:-1] + (pad,), bool)], axis=-1)
+    cp = cp.reshape(c.shape[:-1] + (NCW, 32)).astype(jnp.uint32)
+    return (cp << jnp.arange(32, dtype=jnp.uint32)).sum(
+        axis=-1, dtype=jnp.uint32)
+
+
+def unpack_cand(w: jax.Array) -> jax.Array:
+    """uint32[..., NCW] bitset -> bool[..., A] candidate mask."""
+    bits = (w[..., :, None] >> jnp.arange(32, dtype=jnp.uint32)) & 1
+    return bits.reshape(w.shape[:-1] + (NCW * 32,))[..., :A].astype(bool)
+
+
 class Tree(struct.PyTreeNode):
     """Fixed-capacity array tree for one game (batch via vmap).
 
-    Node 0 is the root; new nodes are appended at index ``size``.
+    Node 0 is the root; new nodes are appended at index ``size``.  Edges are
+    two-tier (`tree.rs:535-991`): the root holds full-width [A] child /
+    visit / value arrays; non-root nodes hold ``K = children_slots`` sparse
+    slots.  Every node stores its full prior row (bf16) and candidacy
+    bitset, so a re-rooted child recovers full width losslessly.
     """
 
-    states: GoState          # stacked [N] board state per node
-    prior: jax.Array         # f32[N, 362] masked+renormalized priors
-    candidate: jax.Array     # bool[N, 362] policy-checker mask
-    children: jax.Array      # i32[N, 362], -1 = absent
+    states: GoState | PackedStates  # stacked [N] board state per node
+    prior: jax.Array         # bf16[N, A] masked+renormalized priors
+    cand: jax.Array          # u32[N, NCW] policy-checker candidacy bitset
+    root_child: jax.Array    # i32[A], -1 = absent (root edges, full width)
+    root_edge_n: jax.Array   # i32[A] root per-edge visits
+    root_edge_w: jax.Array   # f32[A] root per-edge value sums (root persp.)
+    slot_action: jax.Array   # i32[N, K], -1 = empty slot
+    slot_child: jax.Array    # i32[N, K], child node id (>= 0 iff occupied)
+    slot_n: jax.Array        # i32[N, K] per-edge visits
+    slot_w: jax.Array        # f32[N, K] per-edge value sums (parent persp.)
     parent: jax.Array        # i32[N], -1 for root
-    parent_action: jax.Array  # i32[N]
+    parent_action: jax.Array  # i32[N] action INTO the node
+    parent_slot: jax.Array   # i32[N] slot in parent (-1 when parent is root)
     node_n: jax.Array        # i32[N] visit count
     node_w: jax.Array        # f32[N] value sum (node-to-move perspective)
     node_m2: jax.Array       # f32[N] Welford sum of squared deviations
-    value0: jax.Array        # f32[N] net value at node (initial_value)
-    edge_n: jax.Array        # i32[N, 362] per-edge visits (SoA like
-    edge_w: jax.Array        # f32[N, 362] BigChildrenImpl, tree.rs:547-568):
-    #                          edge_w/edge_n is the edge Q in the PARENT's
-    #                          perspective, so select touches only rows of
-    #                          the current node — no [B,A]-indexed gathers
-    #                          from [B,N] child stats on the hot path
     node_to_move: jax.Array  # i32[N] to-move at each node (compact copy of
     #                          the state row, so backup's perspective flips
     #                          gather one scalar, not a packed-state row)
+    value0: jax.Array        # f32[N] net value at node (initial_value)
     size: jax.Array          # i32 allocated nodes
 
 
@@ -175,30 +210,37 @@ def init_tree(state: GoState, value: jax.Array, policy: jax.Array,
               cfg: SearchConfig, num_nodes: int) -> Tree:
     """Allocate a tree and install the evaluated root."""
     n = num_nodes
+    k = cfg.children_slots
     states = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x, (n,) + x.shape), state)
     prior = _masked_prior(policy, candidate)
     if noise_rng is not None and cfg.dirichlet_noise > 0:
         prior = _dirichlet_mix(noise_rng, prior, candidate,
                                cfg.dirichlet_noise, cfg.dirichlet_alpha)
-    tree = Tree(
+    v = _sane_value(value)
+    return Tree(
         states=states,
-        prior=jnp.zeros((n, A)).at[0].set(prior),
-        candidate=jnp.zeros((n, A), bool).at[0].set(candidate),
-        children=jnp.full((n, A), -1, jnp.int32),
+        prior=jnp.zeros((n, A), jnp.bfloat16).at[0].set(
+            prior.astype(jnp.bfloat16)),
+        cand=jnp.zeros((n, NCW), jnp.uint32).at[0].set(pack_cand(candidate)),
+        root_child=jnp.full((A,), -1, jnp.int32),
+        root_edge_n=jnp.zeros((A,), jnp.int32),
+        root_edge_w=jnp.zeros((A,)),
+        slot_action=jnp.full((n, k), -1, jnp.int32),
+        slot_child=jnp.full((n, k), -1, jnp.int32),
+        slot_n=jnp.zeros((n, k), jnp.int32),
+        slot_w=jnp.zeros((n, k)),
         parent=jnp.full((n,), -1, jnp.int32),
         parent_action=jnp.zeros((n,), jnp.int32),
+        parent_slot=jnp.full((n,), -1, jnp.int32),
         node_n=jnp.zeros((n,), jnp.int32).at[0].set(1),
-        node_w=jnp.zeros((n,)).at[0].set(_sane_value(value)),
+        node_w=jnp.zeros((n,)).at[0].set(v),
         node_m2=jnp.zeros((n,)),
-        value0=jnp.zeros((n,)).at[0].set(_sane_value(value)),
-        edge_n=jnp.zeros((n, A), jnp.int32),
-        edge_w=jnp.zeros((n, A)),
         node_to_move=jnp.broadcast_to(
             _states_to_move(state).astype(jnp.int32), (n,)),
+        value0=jnp.zeros((n,)).at[0].set(v),
         size=jnp.int32(1),
     )
-    return tree
 
 
 def _sane_value(v):
@@ -223,261 +265,200 @@ def _dirichlet_mix(rng, prior, candidate, beta, alpha):
     return jnp.where(candidate, (1.0 - beta) * prior + beta * g, prior)
 
 
-# ---------------------------------------------------------------------------
-# one simulation = select -> step+features (vmapped), net (batched),
-#                  insert+backup (vmapped)
-
-
-def _select(tree: Tree, cfg: SearchConfig):
-    """Walk root->leaf by PUCT; returns (leaf_node, action)."""
-
-    def puct(node):
-        # row reads only: per-edge stats replace child gathers (SoA edges,
-        # tree.rs:547-568); edge_n > 0 iff the child node exists
-        edge_n = tree.edge_n[node]                        # [A]
-        q_visited = tree.edge_w[node] / jnp.maximum(edge_n, 1)
-        n_tot = tree.node_n[node].astype(jnp.float32)
-        fpu = jnp.where(node == 0, tree.value0[node],
-                        jnp.maximum(tree.value0[node]
-                                    - cfg.fpu_reduce.at(n_tot), 0.0))
-        q = jnp.where(edge_n > 0, q_visited, fpu)
-        bonus = cfg.uct_exp.at(n_tot) * jnp.sqrt(1.0 + n_tot) \
-            / (1.0 + edge_n.astype(jnp.float32))
-        score = q + tree.prior[node] * bonus
-        score = jnp.where(tree.candidate[node] & jnp.isfinite(score),
-                          score, -jnp.inf)
-        any_cand = jnp.any(tree.candidate[node])
-        action = jnp.where(any_cand, jnp.argmax(score), A - 1)
-        return action
-
-    def cond(carry):
-        node, action, depth = carry
-        child = tree.children[node, action]
-        return (child >= 0) & (depth < tree.node_n.shape[0])
-
-    def body(carry):
-        node, action, depth = carry
-        child = tree.children[node, action]
-        return child, puct(child), depth + 1
-
-    node0 = jnp.int32(0)
-    carry = (node0, puct(node0), jnp.int32(0))
-    node, action, _ = jax.lax.while_loop(cond, body, carry)
-    return node, action
-
-
-def _leaf(tree: Tree, cfg: SearchConfig):
-    """Select + env-step for one game (features are batched separately)."""
-    node, action = _select(tree, cfg)
-    parent_state = jax.tree_util.tree_map(lambda x: x[node], tree.states)
-    leaf_state = engine.step(parent_state, action)
-    return node, action, leaf_state
-
-
-def _leaf_select(tree: Tree, cfg: SearchConfig):
-    """Select only; the env step runs batched (Pallas kernel path)."""
-    node, action = _select(tree, cfg)
-    parent_state = jax.tree_util.tree_map(lambda x: x[node], tree.states)
-    return node, action, parent_state
-
-
-def _insert_backup(tree: Tree, node, action, leaf_state,
-                   value, policy, use_scoring, enabled=None,
-                   candidate=None) -> Tree:
-    """Attach the evaluated leaf and back its value up to the root.
-
-    When the tree is full (possible after subtree reuse), the value is still
-    backed up but no node is inserted.  ``enabled=False`` (per-game rollout
-    budget exhausted, `self_play.rs:232-241`) makes the whole call a no-op.
-    ``candidate`` (fused path) supplies the kernel-computed mask instead of
-    recomputing it from the leaf state here.
-    """
-    capacity = tree.node_n.shape[0]
-    has_room = tree.size < capacity
-    if enabled is not None:
-        has_room = has_room & enabled
-        node = jnp.where(enabled, node, jnp.int32(-1))
-    new = jnp.minimum(tree.size, capacity - 1)
-    value = _sane_value(value)
-
-    if candidate is None:
-        cand_std = standard_mask(leaf_state)
-        if use_scoring is None:  # static fast path: StandardSearch everywhere
-            candidate = cand_std
-        else:
-            cand_scr = scoring_mask(leaf_state)
-            candidate = jnp.where(use_scoring, cand_scr, cand_std)
-    prior = _masked_prior(policy, candidate)
-
-    def set_row(buf, row):
-        return jnp.where(has_room, buf.at[new].set(row), buf)
-
-    states = jax.tree_util.tree_map(
-        lambda buf, leaf: set_row(buf, leaf), tree.states, leaf_state)
-    tree = tree.replace(
-        states=states,
-        prior=set_row(tree.prior, prior),
-        candidate=set_row(tree.candidate, candidate),
-        children=jnp.where(has_room,
-                           tree.children.at[node, action].set(new),
-                           tree.children),
-        parent=set_row(tree.parent, node),
-        parent_action=set_row(tree.parent_action, action),
-        size=tree.size + has_room.astype(jnp.int32),
-        value0=set_row(tree.value0, value),
-        node_to_move=set_row(tree.node_to_move,
-                             _states_to_move(leaf_state).astype(jnp.int32)),
-    )
-
-    # backup from leaf to root with perspective flips (tree.rs:125-159);
-    # per-edge stats accumulate 1 - x_child = the value in the PARENT's
-    # perspective, so edge_w/edge_n reproduces select's old q_visited
-    leaf_to_move = _states_to_move(leaf_state)
-
-    def cond(carry):
-        n, *_ = carry
-        return n >= 0
-
-    def body(carry):
-        n, node_n, node_w, node_m2, edge_n, edge_w = carry
-        x = jnp.where(_states_to_move(tree.states, n) == leaf_to_move,
-                      value, 1.0 - value)
-        cnt = node_n[n].astype(jnp.float32)
-        mean_prev = jnp.where(cnt > 0, node_w[n] / jnp.maximum(cnt, 1.0), x)
-        mean_next = (node_w[n] + x) / (cnt + 1.0)
-        node_m2 = node_m2.at[n].add((x - mean_prev) * (x - mean_next))
-        node_n = node_n.at[n].add(1)
-        node_w = node_w.at[n].add(x)
-        # the edge INTO n (skip at the root, whose parent is -1)
-        par = tree.parent[n]
-        pc = jnp.maximum(par, 0)
-        on = (par >= 0).astype(jnp.int32)
-        edge_n = edge_n.at[pc, tree.parent_action[n]].add(on)
-        edge_w = edge_w.at[pc, tree.parent_action[n]].add(
-            on.astype(jnp.float32) * (1.0 - x))
-        return par, node_n, node_w, node_m2, edge_n, edge_w
-
-    # seed the new leaf's stats and its edge, then walk up from its parent
-    node_n = jnp.where(has_room, tree.node_n.at[new].set(1), tree.node_n)
-    node_w = jnp.where(has_room, tree.node_w.at[new].set(value), tree.node_w)
-    seed = has_room.astype(jnp.int32)
-    nc = jnp.maximum(node, 0)
-    edge_n = tree.edge_n.at[nc, action].add(
-        seed * (node >= 0).astype(jnp.int32))
-    edge_w = tree.edge_w.at[nc, action].add(
-        jnp.where(has_room & (node >= 0), 1.0 - value, 0.0))
-    _, node_n, node_w, node_m2, edge_n, edge_w = jax.lax.while_loop(
-        cond, body, (node, node_n, node_w, tree.node_m2, edge_n, edge_w))
-    return tree.replace(node_n=node_n, node_w=node_w, node_m2=node_m2,
-                        edge_n=edge_n, edge_w=edge_w)
+def root_candidate(tree: Tree) -> jax.Array:
+    """bool[A] root candidacy mask (unbatched tree; vmap for batches)."""
+    return unpack_cand(tree.cand[0])
 
 
 # ---------------------------------------------------------------------------
 # flat-tree hot path
 #
-# The vmapped row ops above are the readable reference; the simulation loop
-# itself runs on a FLATTENED tree ([B, C, ...] leaves viewed as [B*C, ...])
-# with explicit global row ids.  Per-lane indexing under vmap lowers on TPU
-# to masked whole-array selects (a full [B, C, 362] rewrite per update, the
-# dominant cost of a simulation); plain row gathers and unique-index row
-# scatters on the flat view lower to the efficient dynamic-slice paths.
+# The simulation loop runs on a FLATTENED tree: per-node leaves [B, C, ...]
+# viewed as [B*C, ...] with explicit global row ids, while the per-GAME
+# root arrays ([B, A]) and size stay unflattened.  Per-lane indexing under
+# vmap lowers on TPU to masked whole-array selects (a full [B, C, ...]
+# rewrite per update); plain row gathers and unique-index row scatters on
+# the flat view lower to the efficient dynamic-slice paths.
+
+_GAME_FIELDS = ("root_child", "root_edge_n", "root_edge_w", "size")
 
 
 def _flatten_trees(trees: Tree) -> Tree:
-    """[B, C, ...] leaves -> [B*C, ...] views (free reshape; size stays [B])."""
-    return jax.tree_util.tree_map(
-        lambda x: x.reshape((-1,) + x.shape[2:]) if x.ndim >= 2 else x,
-        trees)
+    """Node-axis leaves [B, C, ...] -> [B*C, ...] views (free reshape)."""
+    kw = {}
+    for f in dataclasses.fields(trees):
+        v = getattr(trees, f.name)
+        if f.name in _GAME_FIELDS:
+            kw[f.name] = v
+        elif f.name == "states":
+            kw[f.name] = jax.tree_util.tree_map(
+                lambda x: x.reshape((-1,) + x.shape[2:]), v)
+        else:
+            kw[f.name] = v.reshape((-1,) + v.shape[2:])
+    return Tree(**kw)
 
 
-def _unflatten_trees(trees_flat: Tree, batch: int) -> Tree:
-    return jax.tree_util.tree_map(
-        lambda x: x if x.shape[0] == batch
-        else x.reshape((batch, -1) + x.shape[1:]), trees_flat)
+def _unflatten_trees(tf: Tree, batch: int) -> Tree:
+    kw = {}
+    for f in dataclasses.fields(tf):
+        v = getattr(tf, f.name)
+        if f.name in _GAME_FIELDS:
+            kw[f.name] = v
+        elif f.name == "states":
+            kw[f.name] = jax.tree_util.tree_map(
+                lambda x: x.reshape((batch, -1) + x.shape[1:]), v)
+        else:
+            kw[f.name] = v.reshape((batch, -1) + v.shape[1:])
+    return Tree(**kw)
 
 
 def _select_flat(tf: Tree, cfg: SearchConfig, batch: int, cap: int):
     """Batched root->leaf PUCT walk on the flat tree.
 
-    Returns ``(node, action, path_n, path_a)``: the leaf's parent and the
-    chosen action, plus the visited chain ``path_n[B, cap]`` (node ids,
-    -1-padded; ``path_n[:, 0] == 0``) and the action taken at each chain
-    node ``path_a``.  The chain is exactly the backup path, so insert can
-    apply every level in one scatter instead of a per-level loop.
+    Returns ``(node, action, k_exit, path_n, path_k, root_a)``: the leaf's
+    parent node, the chosen action, the parent's slot index when the walk
+    ended on an EXISTING edge (depth cap re-expansion; -1 for a new edge),
+    the visited chain ``path_n[B, D]`` (node ids, -1-padded;
+    ``path_n[:, 0] == 0``), the slot chosen AT each chain node ``path_k``
+    (-1 at the root), and the action taken at the root.  The chain is
+    exactly the backup path, so insert can apply every level in one scatter
+    instead of a per-level loop.
     """
+    k = tf.slot_action.shape[1]
     base = jnp.arange(batch, dtype=jnp.int32) * cap
+    acts = jnp.arange(A, dtype=jnp.int32)
 
-    def puct(node):
-        gid = base + node
-        edge_n = tf.edge_n[gid]                               # [B, A]
-        q_visited = tf.edge_w[gid] / jnp.maximum(edge_n, 1)
-        n_tot = tf.node_n[gid].astype(jnp.float32)            # [B]
-        v0 = tf.value0[gid]
-        fpu = jnp.where(node == 0, v0,
-                        jnp.maximum(v0 - cfg.fpu_reduce.at(n_tot), 0.0))
-        q = jnp.where(edge_n > 0, q_visited, fpu[:, None])
-        bonus = (cfg.uct_exp.at(n_tot) * jnp.sqrt(1.0 + n_tot))[:, None] \
-            / (1.0 + edge_n.astype(jnp.float32))
-        cand = tf.candidate[gid]
-        score = q + tf.prior[gid] * bonus
-        score = jnp.where(cand & jnp.isfinite(score), score, -jnp.inf)
-        any_cand = jnp.any(cand, axis=1)
-        return jnp.where(any_cand, jnp.argmax(score, axis=1),
-                         A - 1).astype(jnp.int32)
+    # --- root choice: full-width PUCT over the promoted root arrays ------
+    n_tot0 = tf.node_n[base].astype(jnp.float32)                # [B]
+    v00 = tf.value0[base]
+    rp0 = tf.prior[base].astype(jnp.float32)                    # [B, A]
+    cand0 = unpack_cand(tf.cand[base])
+    en0 = tf.root_edge_n                                        # [B, A]
+    q0 = jnp.where(en0 > 0, tf.root_edge_w / jnp.maximum(en0, 1),
+                   v00[:, None])
+    bonus0 = (cfg.uct_exp.at(n_tot0) * jnp.sqrt(1.0 + n_tot0))[:, None] \
+        / (1.0 + en0.astype(jnp.float32))
+    score0 = q0 + rp0 * bonus0
+    score0 = jnp.where(cand0 & jnp.isfinite(score0), score0, -jnp.inf)
+    root_a = jnp.where(jnp.any(cand0, axis=1),
+                       jnp.argmax(score0, axis=1), A - 1).astype(jnp.int32)
+
+    def puct_nonroot(m):
+        """Slot-vs-unexpanded PUCT at non-root nodes m [B] -> (action, k).
+
+        Expanded edges score from their slot stats; unexpanded candidates
+        all share count 0, so their argmax is the prior argmax — no dense
+        edge row is ever materialized.
+        """
+        g = base + m
+        n_tot = tf.node_n[g].astype(jnp.float32)
+        fpu = jnp.maximum(tf.value0[g] - cfg.fpu_reduce.at(n_tot), 0.0)
+        u = cfg.uct_exp.at(n_tot) * jnp.sqrt(1.0 + n_tot)       # [B]
+        sa = tf.slot_action[g]                                  # [B, K]
+        sn = tf.slot_n[g]
+        occ = sa >= 0
+        rowp = tf.prior[g].astype(jnp.float32)                  # [B, A]
+        q_s = jnp.where(sn > 0, tf.slot_w[g] / jnp.maximum(sn, 1),
+                        fpu[:, None])
+        p_s = jnp.take_along_axis(rowp, jnp.maximum(sa, 0), axis=1)
+        s_s = q_s + p_s * (u[:, None] / (1.0 + sn.astype(jnp.float32)))
+        s_s = jnp.where(occ & jnp.isfinite(s_s), s_s, -jnp.inf)
+        k_best = jnp.argmax(s_s, axis=1).astype(jnp.int32)
+        s_best = jnp.max(s_s, axis=1)
+
+        candm = unpack_cand(tf.cand[g])
+        in_slots = jnp.any(sa[:, :, None] == acts[None, None, :], axis=1)
+        un_mask = candm & ~in_slots
+        s_un = fpu[:, None] + rowp * u[:, None]
+        s_un = jnp.where(un_mask & jnp.isfinite(s_un), s_un, -jnp.inf)
+        a_best = jnp.argmax(s_un, axis=1).astype(jnp.int32)
+        su_best = jnp.max(s_un, axis=1)
+
+        any_un = jnp.any(un_mask, axis=1)
+        any_slot = jnp.any(occ, axis=1)
+        slots_full = jnp.all(occ, axis=1)
+        use_slot = any_slot & ((s_best >= su_best) | slots_full | ~any_un)
+        action = jnp.where(
+            use_slot, jnp.take_along_axis(sa, k_best[:, None], 1)[:, 0],
+            jnp.where(any_un, a_best, A - 1))
+        kk = jnp.where(use_slot, k_best, -1)
+        return action, kk
 
     d = min(cap, MAX_BACKUP_DEPTH)
     node0 = jnp.zeros((batch,), jnp.int32)
-    action0 = puct(node0)
     path_n = jnp.full((batch, d), -1, jnp.int32).at[:, 0].set(0)
-    path_a = jnp.zeros((batch, d), jnp.int32).at[:, 0].set(action0)
-    carry0 = (node0, action0, jnp.zeros((batch,), bool), jnp.int32(1),
-              path_n, path_a)
+    path_k = jnp.full((batch, d), -1, jnp.int32)
+    carry0 = (node0, root_a, jnp.full((batch,), -1, jnp.int32),
+              jnp.zeros((batch,), bool), jnp.int32(1), path_n, path_k)
 
     def cond(c):
-        node, action, done, depth, *_ = c
+        node, action, kc, done, depth, *_ = c
         return (~jnp.all(done)) & (depth < d)
 
     def body(c):
-        node, action, done, depth, path_n, path_a = c
-        # row gather + take: a paired-index gather here makes XLA keep a
-        # TRANSPOSED copy of `children` alive across the loop
-        child = jnp.take_along_axis(
-            tf.children[base + node], action[:, None], axis=1)[:, 0]
+        node, action, kc, done, depth, path_n, path_k = c
+        child_root = jnp.take_along_axis(
+            tf.root_child, action[:, None], axis=1)[:, 0]
+        child_slot = jnp.take_along_axis(
+            tf.slot_child[base + node], jnp.maximum(kc, 0)[:, None],
+            axis=1)[:, 0]
+        child = jnp.where(node == 0, child_root,
+                          jnp.where(kc >= 0, child_slot, -1))
         adv = (~done) & (child >= 0)
         node2 = jnp.where(adv, child, node)
-        action2 = jnp.where(adv, puct(node2), action)
+        action_new, k_new = puct_nonroot(node2)
+        action2 = jnp.where(adv, action_new, action)
+        k2 = jnp.where(adv, k_new, kc)
         # uniform write position: a lane advancing at iteration t has
         # advanced exactly t times (done is sticky), so this is a cheap
         # dynamic-update-slice, not a scatter
         path_n = jax.lax.dynamic_update_index_in_dim(
             path_n, jnp.where(adv, node2, -1), depth, axis=1)
-        path_a = jax.lax.dynamic_update_index_in_dim(
-            path_a, jnp.where(adv, action2, 0), depth, axis=1)
-        return node2, action2, done | (child < 0), depth + 1, path_n, path_a
+        path_k = jax.lax.dynamic_update_index_in_dim(
+            path_k, jnp.where(adv, k2, -1), depth, axis=1)
+        return node2, action2, k2, done | (child < 0), depth + 1, \
+            path_n, path_k
 
-    node, action, _, _, path_n, path_a = jax.lax.while_loop(
+    node, action, k_exit, _, _, path_n, path_k = jax.lax.while_loop(
         cond, body, carry0)
-    return node, action, path_n, path_a
+    return node, action, k_exit, path_n, path_k, root_a
 
 
-def _insert_backup_flat(tf: Tree, node, action, path_n, path_a, leaf_rows,
-                        value, policy, use_scoring, enabled, candidate,
-                        batch: int, cap: int) -> Tree:
-    """Batched insert+backup on the flat tree (same semantics as
-    :func:`_insert_backup`).
+def _insert_backup_flat(tf: Tree, node, action, k_exit, path_n, path_k,
+                        root_a, leaf_rows, value, policy, use_scoring,
+                        enabled, candidate, batch: int, cap: int) -> Tree:
+    """Batched insert+backup on the flat tree.
 
-    Guarded writes become OOB-dropped unique-index scatters, and the whole
-    backup chain (supplied by select as ``path_n``/``path_a``) is applied
-    in ONE scatter per statistic: every chain node is visited exactly once
-    per simulation, so the per-node Welford updates are independent and
-    need no sequential loop.
+    Attach the evaluated leaf under ``(node, action)`` and back its value up
+    the recorded chain.  Guarded writes are OOB-dropped unique-index
+    scatters; the whole backup chain is applied in ONE scatter per
+    statistic (every chain node is visited exactly once per simulation, so
+    the per-node Welford updates are independent).  When the tree is full —
+    or a non-root parent has no free child slot — the value still backs up
+    but no node is inserted.  ``enabled=False`` (per-game rollout budget
+    exhausted, `self_play.rs:232-241`) makes the whole call a no-op.
+    ``candidate`` (fused path) supplies the kernel-computed mask instead of
+    recomputing it from the leaf state here.
     """
+    k = tf.slot_action.shape[1]
     base = jnp.arange(batch, dtype=jnp.int32) * cap
     oob = batch * cap + jnp.arange(batch, dtype=jnp.int32)  # unique, dropped
+    acts = jnp.arange(A, dtype=jnp.int32)
+    slots = jnp.arange(k, dtype=jnp.int32)
     has_room = tf.size < cap
     if enabled is not None:
-        has_room = has_room & enabled
         node = jnp.where(enabled, node, jnp.int32(-1))
+    at_root = node == 0
+    nonroot = node > 0
+
+    # free slot in the parent: reuse the walk's slot on depth-cap
+    # re-expansion, else the first empty
+    sa_parent = tf.slot_action[jnp.where(nonroot, base + node, 0)]  # [B, K]
+    first_free = jnp.argmax(sa_parent < 0, axis=1).astype(jnp.int32)
+    free_k = jnp.where(k_exit >= 0, k_exit, first_free)
+    slot_ok = (k_exit >= 0) | jnp.any(sa_parent < 0, axis=1)
+    can = has_room & (at_root | (nonroot & slot_ok))
+
     new = jnp.minimum(tf.size, cap - 1)
     value = _sane_value(value)
 
@@ -490,33 +471,51 @@ def _insert_backup_flat(tf: Tree, node, action, path_n, path_a, leaf_rows,
             candidate = jnp.where(use_scoring[:, None], cand_scr, cand_std)
     prior = jax.vmap(_masked_prior)(policy, candidate)
 
-    idx_new = jnp.where(has_room, base + new, oob)
+    idx_new = jnp.where(can, base + new, oob)
 
     def setr(buf, row):
         return buf.at[idx_new].set(row, mode="drop", unique_indices=True)
 
-    ok_child = has_room & (node >= 0)
-    child_row = jnp.where(ok_child, base + jnp.maximum(node, 0), oob)
-    # children[node, action] = new as a row read-modify-write: an element-
-    # indexed 2D scatter makes XLA:TPU retile the array through a
-    # transposed flat view every sim
-    crow = tf.children[jnp.where(ok_child, child_row, 0)]
-    crow = jnp.where(jnp.arange(A, dtype=jnp.int32)[None, :]
-                     == action[:, None], new[:, None], crow)
+    leaf_to_move = _states_to_move(leaf_rows).astype(jnp.int32)
+    kk = tf.slot_action.shape[1]
     tf = tf.replace(
         states=jax.tree_util.tree_map(setr, tf.states, leaf_rows),
-        prior=setr(tf.prior, prior),
-        candidate=setr(tf.candidate, candidate),
-        children=tf.children.at[child_row].set(
-            crow, mode="drop", unique_indices=True),
+        prior=setr(tf.prior, prior.astype(jnp.bfloat16)),
+        cand=setr(tf.cand, pack_cand(candidate)),
+        slot_action=setr(tf.slot_action, jnp.full((batch, kk), -1,
+                                                  jnp.int32)),
+        slot_child=setr(tf.slot_child, jnp.full((batch, kk), -1, jnp.int32)),
+        slot_n=setr(tf.slot_n, jnp.zeros((batch, kk), jnp.int32)),
+        slot_w=setr(tf.slot_w, jnp.zeros((batch, kk))),
         parent=setr(tf.parent, node),
         parent_action=setr(tf.parent_action, action),
-        size=tf.size + has_room.astype(jnp.int32),
+        parent_slot=setr(tf.parent_slot,
+                         jnp.where(at_root, -1, free_k)),
+        node_to_move=setr(tf.node_to_move, leaf_to_move),
         value0=setr(tf.value0, value),
+        size=tf.size + can.astype(jnp.int32),
     )
 
-    leaf_to_move = _states_to_move(leaf_rows).astype(jnp.int32)
-    tf = tf.replace(node_to_move=setr(tf.node_to_move, leaf_to_move))
+    # link the new edge.  Root: one-hot row rewrite of the [B, A] arrays.
+    ok_root = can & at_root
+    hot_new = (acts[None, :] == action[:, None]) & ok_root[:, None]
+    root_child = jnp.where(hot_new, new[:, None], tf.root_child)
+    # Non-root: read-modify-write the parent's slot row at unique row ids
+    # (element-indexed 2D scatters make XLA:TPU retile the whole array
+    # through a transposed flat view every sim).
+    ok_slot = can & nonroot
+    srow = jnp.where(ok_slot, base + jnp.maximum(node, 0), oob)
+    khot = (slots[None, :] == free_k[:, None]) & ok_slot[:, None]  # [B, K]
+    sa_row = jnp.where(khot, action[:, None], sa_parent)
+    sc_row = jnp.where(khot, new[:, None],
+                       tf.slot_child[jnp.where(ok_slot, base + node, 0)])
+    tf = tf.replace(
+        root_child=root_child,
+        slot_action=tf.slot_action.at[srow].set(
+            sa_row, mode="drop", unique_indices=True),
+        slot_child=tf.slot_child.at[srow].set(
+            sc_row, mode="drop", unique_indices=True),
+    )
 
     # ---- whole-chain backup in one scatter per array --------------------
     valid = path_n >= 0                                     # [B, D]
@@ -542,33 +541,38 @@ def _insert_backup_flat(tf: Tree, node, action, path_n, path_a, leaf_rows,
     node_n = node_n.at[idx_new].set(1, mode="drop", unique_indices=True)
     node_w = node_w.at[idx_new].set(value, mode="drop", unique_indices=True)
 
-    # edge INTO chain node k is (path_n[k-1], path_a[k-1]) and accumulates
-    # the CHILD's value in the parent's perspective (1 - x_k).  Updates go
-    # in as ONE-HOT FULL ROWS at unique row indices (the embedding-gradient
-    # scatter-add pattern): element-indexed 2D scatters made XLA:TPU retile
-    # the whole [B*C, A] arrays through a transposed flat view every sim.
-    evalid = valid[:, 1:]
+    # edge INTO chain node j accumulates the CHILD's value in the parent's
+    # perspective (1 - x_j).  j = 1 is a root edge (action root_a); j >= 2
+    # is the parent's slot path_k[j-1].  Root edges go in as one-hot [B, A]
+    # adds; slot edges as one-hot [B, K] FULL ROWS at unique row indices
+    # (the embedding-gradient scatter-add pattern) — 11x less scatter
+    # traffic than the dense [B*(D-1), A] form.
+    hot_r = ((acts[None, :] == root_a[:, None]) & valid[:, 1:2])
+    hot_seed = (acts[None, :] == action[:, None]) & ok_root[:, None]
+    root_edge_n = tf.root_edge_n + hot_r + hot_seed
+    root_edge_w = tf.root_edge_w \
+        + hot_r * (1.0 - x[:, 1:2]) + hot_seed * (1.0 - value)[:, None]
+
+    evalid = valid[:, 2:]                                   # [B, D-2]
     erow = jnp.where(evalid,
-                     base[:, None] + jnp.maximum(path_n[:, :-1], 0),
-                     oob2[:, 1:]).reshape(-1)                # [B*(D-1)]
-    hot = (jnp.arange(A, dtype=jnp.int32)[None, None, :]
-           == path_a[:, :-1, None])                          # [B, D-1, A]
-    xk = x[:, 1:]
-    edge_n = tf.edge_n.at[erow].add(
-        hot.astype(jnp.int32).reshape(-1, A),
+                     base[:, None] + jnp.maximum(path_n[:, 1:-1], 0),
+                     oob2[:, 2:]).reshape(-1)               # [B*(D-2)]
+    khot_c = (slots[None, None, :] == path_k[:, 1:-1, None])  # [B, D-2, K]
+    xk = x[:, 2:]
+    slot_n = tf.slot_n.at[erow].add(
+        khot_c.astype(jnp.int32).reshape(-1, k),
         mode="drop", unique_indices=True)
-    edge_w = tf.edge_w.at[erow].add(
-        (hot * (1.0 - xk)[:, :, None]).reshape(-1, A),
+    slot_w = tf.slot_w.at[erow].add(
+        (khot_c * (1.0 - xk)[:, :, None]).reshape(-1, k),
         mode="drop", unique_indices=True)
-    # the leaf's own edge (node, action), same full-row form
-    seed_hot = jnp.arange(A, dtype=jnp.int32)[None, :] == action[:, None]
-    edge_n = edge_n.at[child_row].add(
-        seed_hot.astype(jnp.int32), mode="drop", unique_indices=True)
-    edge_w = edge_w.at[child_row].add(
-        seed_hot * (1.0 - value)[:, None],
-        mode="drop", unique_indices=True)
+    # the leaf's own slot edge (parent `node`, slot free_k)
+    khot_s = khot.astype(jnp.int32)
+    slot_n = slot_n.at[srow].add(khot_s, mode="drop", unique_indices=True)
+    slot_w = slot_w.at[srow].add(khot * (1.0 - value)[:, None],
+                                 mode="drop", unique_indices=True)
     return tf.replace(node_n=node_n, node_w=node_w, node_m2=node_m2,
-                      edge_n=edge_n, edge_w=edge_w)
+                      root_edge_n=root_edge_n, root_edge_w=root_edge_w,
+                      slot_n=slot_n, slot_w=slot_w)
 
 
 # ---------------------------------------------------------------------------
@@ -614,7 +618,8 @@ def run_search(trees: Tree, predictor: Predictor, cfg: SearchConfig,
 
     def sim_step(i, tf):
         candidate = None
-        node, action, path_n, path_a = _select_flat(tf, cfg, batch, cap)
+        node, action, k_exit, path_n, path_k, root_a = _select_flat(
+            tf, cfg, batch, cap)
         parent = jax.tree_util.tree_map(lambda x: x[base + node], tf.states)
         if cfg.fused:
             from ..ops.leaf_step import leaf_step
@@ -670,9 +675,9 @@ def run_search(trees: Tree, predictor: Predictor, cfg: SearchConfig,
         value, policy = predictor(feats)
         en = None if budget is None else (start + i) < budget
         return _insert_backup_flat(
-            tf, node, action, path_n, path_a, leaf_states, value, policy,
-            use_scoring if candidate is None else None, en, candidate,
-            batch, cap)
+            tf, node, action, k_exit, path_n, path_k, root_a, leaf_states,
+            value, policy, use_scoring if candidate is None else None, en,
+            candidate, batch, cap)
 
     tf = jax.lax.fori_loop(0, num_sims, sim_step, _flatten_trees(trees))
     return _unflatten_trees(tf, batch)
@@ -740,7 +745,7 @@ def run_search_adaptive(trees: Tree, predictor: Predictor, cfg: SearchConfig,
     game as done once its budget is spent, so lopsided batches exit sooner.
     """
     chunks = max(1, (num_sims + check_every - 1) // check_every)
-    batch = trees.node_n.shape[0]
+    batch = trees.size.shape[0]
     if budget is None and num_sims % check_every != 0:
         # the final chunk would overshoot num_sims; the per-game budget
         # machinery caps it exactly
@@ -786,11 +791,14 @@ def reroot(tree: Tree, action: jax.Array, noise_rng: jax.Array,
 
     Returns ``(tree, valid)``; when the played move was never expanded
     (``valid`` False) the caller must fall back to a fresh tree.  The new
-    root keeps its accumulated statistics and gets fresh Dirichlet noise
-    (`lib.rs:162-165` re-noises the reused root every move).
+    root keeps its accumulated statistics, gets fresh Dirichlet noise
+    (`lib.rs:162-165` re-noises the reused root every move), and its sparse
+    child slots are densified into the full-width root arrays — its full
+    prior row was stored at expansion, so no information is lost
+    ("promotion", `tree.rs:958-991`).
     """
     n = tree.node_n.shape[0]
-    c = tree.children[0, action]
+    c = tree.root_child[action]
     valid = (c >= 0) & (tree.size > 1)
     c0 = jnp.maximum(c, 0)
 
@@ -808,37 +816,60 @@ def reroot(tree: Tree, action: jax.Array, noise_rng: jax.Array,
         out = buf[order]
         if fill is not None:
             mask = live.reshape((n,) + (1,) * (out.ndim - 1))
-            out = jnp.where(mask, out, fill)
+            out = jnp.where(mask, out, jnp.asarray(fill, out.dtype))
         return out
 
-    children = gather(tree.children)
-    children = jnp.where((children >= 0) & live[:, None],
-                         new_idx[jnp.maximum(children, 0)], -1)
+    slot_action = gather(tree.slot_action, -1)
+    slot_child = gather(tree.slot_child)
+    slot_child = jnp.where((slot_child >= 0) & live[:, None],
+                           new_idx[jnp.maximum(slot_child, 0)], -1)
+    slot_n = gather(tree.slot_n, 0)
+    slot_w = gather(tree.slot_w, 0.0)
     parent = jnp.where(live, new_idx[jnp.maximum(gather(tree.parent), 0)], -1)
     parent = parent.at[0].set(-1)
 
     prior = gather(tree.prior, 0.0)
-    candidate = gather(tree.candidate, False)
-    root_prior = _masked_prior(prior[0], candidate[0])
+    cand = gather(tree.cand, 0)
+
+    # densify the new root's slots into the full-width root arrays
+    sa0, sc0 = slot_action[0], slot_child[0]
+    sn0, sw0 = slot_n[0], slot_w[0]
+    idx0 = jnp.where(sa0 >= 0, sa0, A)            # empties -> pad slot
+    root_child = jnp.full((A + 1,), -1, jnp.int32).at[idx0].set(sc0)[:A]
+    root_edge_n = jnp.zeros((A + 1,), jnp.int32).at[idx0].set(sn0)[:A]
+    root_edge_w = jnp.zeros((A + 1,)).at[idx0].set(sw0)[:A]
+    # the root never reads its own slot row; clear it for introspection
+    slot_action = slot_action.at[0].set(-1)
+    slot_child = slot_child.at[0].set(-1)
+    slot_n = slot_n.at[0].set(0)
+    slot_w = slot_w.at[0].set(0.0)
+
+    cand0 = unpack_cand(cand[0])
+    root_prior = _masked_prior(prior[0].astype(jnp.float32), cand0)
     if cfg.dirichlet_noise > 0:
-        root_prior = _dirichlet_mix(noise_rng, root_prior, candidate[0],
+        root_prior = _dirichlet_mix(noise_rng, root_prior, cand0,
                                     cfg.dirichlet_noise, cfg.dirichlet_alpha)
-    prior = prior.at[0].set(root_prior)
+    prior = prior.at[0].set(root_prior.astype(jnp.bfloat16))
 
     out = Tree(
         states=jax.tree_util.tree_map(lambda b: b[order], tree.states),
         prior=prior,
-        candidate=candidate,
-        children=children,
+        cand=cand,
+        root_child=root_child,
+        root_edge_n=root_edge_n,
+        root_edge_w=root_edge_w,
+        slot_action=slot_action,
+        slot_child=slot_child,
+        slot_n=slot_n,
+        slot_w=slot_w,
         parent=parent,
         parent_action=gather(tree.parent_action, 0),
+        parent_slot=gather(tree.parent_slot, -1).at[0].set(-1),
         node_n=gather(tree.node_n, 0),
         node_w=gather(tree.node_w, 0.0),
         node_m2=gather(tree.node_m2, 0.0),
-        value0=gather(tree.value0, 0.0),
-        edge_n=gather(tree.edge_n, 0),
-        edge_w=gather(tree.edge_w, 0.0),
         node_to_move=gather(tree.node_to_move, 0),
+        value0=gather(tree.value0, 0.0),
         size=jnp.maximum(k, 1),
     )
     return out, valid
@@ -853,8 +884,11 @@ def search_with_reuse(states: GoState, prev_trees: Tree,
                       adaptive: bool = False) -> Tree:
     """Search reusing each game's subtree under the move just played.
 
-    ``prev_trees`` must have capacity >= num_sims + largest reused subtree;
-    allocate with ``search(..., capacity=2*num_sims)`` style via init_trees.
+    With ``cfg.reuse_budget`` (default, reference `rollout_limit.rs:18-45`
+    semantics) the reused subtree's visits count toward the per-move
+    budget, so the search TOPS UP to ``num_sims`` total root visits — a
+    tree of capacity ``num_sims + 8`` then always suffices, because a
+    subtree's node count never exceeds its root's visit count.
     ``fresh_mask`` (bool[B]) forces a fresh tree for slots whose game was
     just replaced (continuous self-play batching) — their previous tree
     belongs to a different game.  ``adaptive`` routes through the chunked
@@ -877,6 +911,11 @@ def search_with_reuse(states: GoState, prev_trees: Tree,
         return jnp.where(v, a, b)
 
     trees = jax.tree_util.tree_map(pick, reused, fresh)
+    if cfg.reuse_budget:
+        prev_n = jnp.maximum(trees.node_n[:, 0] - 1, 0)
+        base_budget = jnp.full((batch,), num_sims, jnp.int32) \
+            if budget is None else budget
+        budget = jnp.maximum(base_budget - prev_n, 0)
     if adaptive:
         return run_search_adaptive(trees, predictor, cfg, num_sims,
                                    use_scoring, budget=budget)
@@ -890,13 +929,13 @@ def search_with_reuse(states: GoState, prev_trees: Tree,
 
 def root_visits(tree: Tree) -> jax.Array:
     """i32[362] visit counts of the root's children."""
-    return tree.edge_n[0]
+    return tree.root_edge_n
 
 
 def root_q(tree: Tree) -> jax.Array:
     """f32[362] mean value of each root edge, root-perspective win rate."""
-    return jnp.where(tree.edge_n[0] > 0,
-                     tree.edge_w[0] / jnp.maximum(tree.edge_n[0], 1),
+    return jnp.where(tree.root_edge_n > 0,
+                     tree.root_edge_w / jnp.maximum(tree.root_edge_n, 1),
                      tree.value0[0])
 
 
@@ -914,7 +953,7 @@ def best_move(tree: Tree, rng: jax.Array, cfg: SearchConfig,
     drawn by percentile-cutoff temperature sampling over visit counts.
     """
     visits = root_visits(tree)
-    child = tree.children[0]
+    child = tree.root_child
     q = root_q(tree)
 
     count = visits.astype(jnp.float32)
@@ -928,7 +967,7 @@ def best_move(tree: Tree, rng: jax.Array, cfg: SearchConfig,
     greedy_score = jnp.where(
         jnp.any(eligible),
         jnp.where(eligible, lcb, -jnp.inf),
-        count + 1e-3 * tree.prior[0])
+        count + 1e-3 * tree.prior[0].astype(jnp.float32))
     greedy_score = jnp.where(visits > 0, greedy_score, -jnp.inf)
     any_visit = jnp.any(visits > 0)
     greedy_action = jnp.where(any_visit, jnp.argmax(greedy_score), A - 1)

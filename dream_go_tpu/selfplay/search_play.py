@@ -55,61 +55,26 @@ def _finish_move(search_cfg: SearchConfig, temperature_moves: int,
     return new_states, trees, move, value, targets
 
 
-def _build_bucket_step_fn(predictor: Predictor, search_cfg: SearchConfig,
-                          num_sims: int, temperature_moves: int):
-    """One jitted step over a SUB-batch of games, gathered from / scattered
-    back into the canonical full-batch state by index.
-
-    Lockstep search wall time per move is set by the slowest game in the
-    call: one even game at full budget gates every budget-capped game in
-    the batch (`run_search_adaptive` exits only when ALL games are done).
-    Sorting games by their winrate-scaled budget each move and searching
-    contiguous sub-batches restores the reference's per-game budget saving
-    (`self_play.rs:218-241`) as real wall time: a sub-batch of lopsided
-    games exits its while_loop at ITS max budget, not the batch's.  Shapes
-    stay static (one compiled program, called once per bucket with a
-    different index vector)."""
-
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def bucket_step(states_all: engine.GoState, trees_all,
-                    prev_move_all: jax.Array, fresh_all: jax.Array,
-                    idx: jax.Array, rng: jax.Array, budget_all: jax.Array):
-        take = lambda x: jnp.take(x, idx, axis=0)
-        states = jax.tree_util.tree_map(take, states_all)
-        trees = jax.tree_util.tree_map(take, trees_all)
-        scorable = jax.vmap(bn.is_scorable)(states)
-        use_scoring = ~scorable & ~states.done
-        k_search, k_move = jax.random.split(rng)
-        trees = S.search_with_reuse(
-            states, trees, jnp.take(prev_move_all, idx), predictor,
-            k_search, search_cfg, num_sims, use_scoring,
-            budget=jnp.take(budget_all, idx),
-            fresh_mask=jnp.take(fresh_all, idx),
-            adaptive=search_cfg.adaptive)
-        new_states, trees, move, value, targets = _finish_move(
-            search_cfg, temperature_moves, states, trees, k_move)
-        put = lambda big, small: big.at[idx].set(small)
-        states_all = jax.tree_util.tree_map(put, states_all, new_states)
-        trees_all = jax.tree_util.tree_map(put, trees_all, trees)
-        return states_all, trees_all, move, value, targets
-
-    return bucket_step
-
-
 def _build_search_move_fn(predictor: Predictor, search_cfg: SearchConfig,
                           num_sims: int, temperature_moves: int,
                           tree_reuse: bool = True):
     """Two jitted paths: the first move searches fresh trees; subsequent
     moves re-root the previous move's trees (`tree.rs:1225-1249`).
 
-    Tree capacity defaults to 2x the rollout budget for reuse headroom;
-    ``search_cfg.max_nodes`` overrides it (the capacity guard drops inserts
-    past the cap, so a tighter cap trades a little reuse headroom for HBM —
-    at 1600 rollouts x batch 256 the 2x default is what doesn't fit)."""
+    With the default ``reuse_budget`` (reference RolloutLimit semantics:
+    reuse TOPS UP to the budget, `rollout_limit.rs:18-45`) a capacity of
+    ``num_sims + 8`` always suffices — a subtree's node count never
+    exceeds its root's visit count, so reused nodes + topped-up sims stay
+    under the budget.  The legacy fresh-budget-per-move mode needs the old
+    2x headroom.  ``search_cfg.max_nodes`` overrides either."""
     if search_cfg.max_nodes > 0:
         capacity = search_cfg.max_nodes
+    elif not tree_reuse:
+        capacity = num_sims + 1
+    elif search_cfg.reuse_budget:
+        capacity = num_sims + 8
     else:
-        capacity = 2 * num_sims + 8 if tree_reuse else num_sims + 1
+        capacity = 2 * num_sims + 8
 
     def finish(states, trees, k_move):
         return _finish_move(search_cfg, temperature_moves, states, trees,
@@ -228,6 +193,51 @@ def search_self_play(predictor: Predictor, cfg: SelfPlayConfig,
     return games
 
 
+def _policy_stagger(predictor: Predictor, cfg: SelfPlayConfig,
+                    search_cfg: SearchConfig, states: engine.GoState,
+                    seed: int) -> engine.GoState:
+    """Stagger the batch across game progress with policy-only moves.
+
+    Slot ``g`` advances ~``g/B`` of a max game length by sampling directly
+    from the policy head (the `--num-rollout 1` move rule,
+    `self_play.rs:370-405`), so a continuous-batching benchmark window
+    starts in steady state: completions arrive throughout the window
+    instead of after one full game length (~hours at 1600 rollouts from a
+    cold batch).  Slots whose game ends during warm-up restart fresh and
+    keep advancing.  The resulting games mix a policy-played prefix with a
+    searched suffix — benchmark material, NOT training data.
+    """
+    import numpy as np
+
+    from .policy import PolicyPlayer, _build_move_fn
+
+    b = states.stones.shape[0]
+    player = PolicyPlayer(predictor, temperature=search_cfg.temperature,
+                          cutoff_percentile=search_cfg.cutoff_percentile,
+                          ladder_features=search_cfg.ladder_features,
+                          feature_set=search_cfg.feature_set)
+    move_fn = _build_move_fn(player)
+    targets = jnp.asarray((np.arange(b) * cfg.max_moves) // b, jnp.int32)
+
+    @jax.jit
+    def warm(states, rng):
+        def body(i, carry):
+            states, key = carry
+            key, k1 = jax.random.split(key)
+            stepped, *_ = move_fn(states, k1)
+            stepped = _reset_slots(stepped, stepped.done, stepped.komi,
+                                   cfg.history_len)
+            adv = i < targets
+            pick = lambda a, o: jnp.where(
+                adv.reshape((b,) + (1,) * (o.ndim - 1)), a, o)
+            return jax.tree_util.tree_map(pick, stepped, states), key
+
+        states, _ = jax.lax.fori_loop(0, cfg.max_moves, body, (states, rng))
+        return states
+
+    return warm(states, jax.random.PRNGKey(seed ^ 0x5744))
+
+
 @functools.partial(jax.jit, static_argnums=(3,))
 def _reset_slots(states: engine.GoState, mask: jax.Array,
                  new_komi: jax.Array, history_len: int) -> engine.GoState:
@@ -249,7 +259,7 @@ def search_self_play_continuous(predictor: Predictor, cfg: SelfPlayConfig,
                                 game_times: list | None = None,
                                 deadline_s: float | None = None,
                                 stats: dict | None = None,
-                                budget_buckets: int = 1) -> list[str]:
+                                stagger_warmup: bool = False) -> list[str]:
     """Full-search self-play with continuous batching: finished games are
     replaced by fresh ones so the device batch stays full of live games.
 
@@ -290,17 +300,14 @@ def search_self_play_continuous(predictor: Predictor, cfg: SelfPlayConfig,
     if sharding is not None:
         states = jax.tree_util.tree_map(
             lambda x: jax.device_put(x, sharding), states)
+    if stagger_warmup:
+        # steady-state benchmarking: spread the batch across game progress
+        # so completions arrive throughout a fixed window (see
+        # `_policy_stagger` — the emitted games are bench material only)
+        states = _policy_stagger(predictor, cfg, search_cfg, states, seed)
     first_fn, reuse_fn = _build_search_move_fn(
         predictor, search_cfg, cfg.num_rollout, cfg.temperature_moves,
         tree_reuse=True)
-    # budget-sorted sub-batch execution (see _build_bucket_step_fn): only
-    # meaningful when budgets diverge, and needs even sub-batches
-    n_buckets = budget_buckets if (budget_buckets > 1
-                                   and cfg.winrate_rollouts
-                                   and batch % budget_buckets == 0) else 1
-    bucket_fn = _build_bucket_step_fn(
-        predictor, search_cfg, cfg.num_rollout,
-        cfg.temperature_moves) if n_buckets > 1 else None
     key = jax.random.PRNGKey(seed)
 
     winrate = np.full((batch, 2), 0.5, np.float32)

@@ -72,7 +72,7 @@ class TestSearch:
     def test_scoring_mask_forbids_pass_at_root(self):
         trees = run(P.random_predictor(), sims=8, batch=2,
                     use_scoring=jnp.ones((2,), bool))
-        cand = np.asarray(trees.candidate)[:, 0]  # root candidates
+        cand = np.asarray(jax.vmap(S.root_candidate)(trees))
         assert not cand[:, 361].any()
 
     def test_tree_growth_bounded(self):
@@ -89,7 +89,7 @@ class TestTreeReuse:
         trees = jax.jit(lambda st, r: S.search(
             st, pred, r, CFG, 20, None, capacity=48))(
             states, jax.random.PRNGKey(0))
-        child = np.asarray(trees.children[:, 0, point])
+        child = np.asarray(trees.root_child[:, point])
         child_n = np.asarray(trees.node_n)[np.arange(2), np.maximum(child, 0)]
         assert (child >= 0).all() and (child_n > 10).all()
 
@@ -136,7 +136,7 @@ class TestTreeReuse:
             states, jax.random.PRNGKey(0))
         # play a move the search never expanded (corner A1 unlikely w/ fake)
         bad = jnp.full((2,), coords.from_gtp("T19"), jnp.int32)
-        expanded = np.asarray(trees.children[:, 0, coords.from_gtp("T19")])
+        expanded = np.asarray(trees.root_child[:, coords.from_gtp("T19")])
         states2 = engine.step_batch(states, bad)
         trees2 = jax.jit(lambda st, t, m, r: S.search_with_reuse(
             st, t, m, pred, r, CFG, 8, None))(
@@ -206,9 +206,9 @@ class TestUnstN:
         visits = np.asarray(S.root_visits(tree))
         light = next(a for a in np.argsort(visits) if 0 < visits[a])
         # inflate the edge's accumulated root-perspective value
-        edge_w = tree.edge_w.at[0, int(light)].set(
-            float(tree.edge_n[0, int(light)]))
-        tree = tree.replace(edge_w=edge_w)
+        edge_w = tree.root_edge_w.at[int(light)].set(
+            float(tree.root_edge_n[int(light)]))
+        tree = tree.replace(root_edge_w=edge_w)
         assert bool(np.asarray(S.search_unstable(tree)))
 
     def test_adaptive_does_not_overshoot_num_sims(self):

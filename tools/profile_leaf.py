@@ -115,17 +115,21 @@ def main() -> int:
     leaf_states = S._narrow_rows(leafp, komi)
     policy = jnp.full((B, 362), 1.0 / 362, jnp.float32)
     candf = jnp.concatenate([candk, jnp.ones((B, 1), bool)], axis=1)
-    ins = jax.jit(lambda t, n, a, s, v, p, c: jax.vmap(
-        lambda *xs: S._insert_backup(xs[0], xs[1], xs[2], xs[3], xs[4],
-                                     xs[5], None, None, xs[6])
-    )(t, n, a, s, v, p, c))
+    C = trees.node_n.shape[1]
+    d = min(C, S.MAX_BACKUP_DEPTH)
+    path_n = jnp.full((B, d), -1, jnp.int32).at[:, 0].set(0)
+    path_k = jnp.full((B, d), -1, jnp.int32)
+    k_exit = jnp.full((B,), -1, jnp.int32)
+    ins = jax.jit(lambda t, n, a, s, v, p, c: S._insert_backup_flat(
+        S._flatten_trees(t), n, a, k_exit, path_n, path_k, a, s, v, p,
+        None, None, c, B, C))
     timeit("insert_backup",
            lambda: ins(trees, node, actions, leaf_states, value, policy,
                        candf),
            lambda o: o.node_n)
 
     # select alone
-    sel = jax.jit(lambda t: jax.vmap(lambda tt: S._select(tt, cfg))(t))
+    sel = jax.jit(lambda t: S._select_flat(S._flatten_trees(t), cfg, B, C))
     timeit("select", lambda: sel(trees), lambda o: o[0])
 
     out["batch"] = B

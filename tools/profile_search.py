@@ -92,14 +92,17 @@ def main() -> int:
     if args.fused:
         from dream_go_tpu.ops.leaf_step import leaf_step
 
-        sel = jax.jit(lambda t: jax.vmap(lambda tt: S._select(tt, cfg))(t))
+        C = trees.node_n.shape[1]
+        sel = jax.jit(lambda t: S._select_flat(
+            S._flatten_trees(t), cfg, args.batch, C)[:2])
         node, action = sel(trees)
         fetch(node)
 
         def kern(trees, node, action):
-            parent = jax.vmap(
-                lambda st, n: jax.tree_util.tree_map(lambda b: b[n], st)
-            )(trees.states, node)
+            tf = S._flatten_trees(trees)
+            base = jnp.arange(args.batch, dtype=jnp.int32) * C
+            parent = jax.tree_util.tree_map(
+                lambda b: b[base + node], tf.states)
             leaf_packed, feats_k, cand = leaf_step(
                 *S._widen_rows(parent), action, parent.komi)
             b = cand.shape[0]
@@ -136,8 +139,19 @@ def main() -> int:
         return 0
 
     # --- phase functions, each jitted standalone --------------------------
-    sel = jax.jit(lambda t: jax.vmap(lambda tt: S._leaf_select(tt, cfg))(t))
-    sel_step = jax.jit(lambda t: jax.vmap(lambda tt: S._leaf(tt, cfg))(t))
+    C = trees.node_n.shape[1]
+    baseg = jnp.arange(args.batch, dtype=jnp.int32) * C
+
+    def _sel(t):
+        tf = S._flatten_trees(t)
+        node, action, *_ = S._select_flat(tf, cfg, args.batch, C)
+        parents = jax.tree_util.tree_map(lambda b: b[baseg + node],
+                                         tf.states)
+        return node, action, parents
+
+    sel = jax.jit(_sel)
+    sel_step = jax.jit(lambda t: (lambda n, a, p: (n, a, jax.vmap(
+        engine.step)(p, a)))(*_sel(t)))
 
     node, action, parents = sel(trees)
     _, _, leaves = sel_step(trees)
@@ -152,8 +166,13 @@ def main() -> int:
     value, policy = net(feats)
     fetch(value)
 
-    ins = jax.jit(lambda t, n, a, s, v, p: jax.vmap(
-        lambda *xs: S._insert_backup(*xs, None))(t, n, a, s, v, p))
+    d = min(C, S.MAX_BACKUP_DEPTH)
+    pn0 = jnp.full((args.batch, d), -1, jnp.int32).at[:, 0].set(0)
+    pk0 = jnp.full((args.batch, d), -1, jnp.int32)
+    ke0 = jnp.full((args.batch,), -1, jnp.int32)
+    ins = jax.jit(lambda t, n, a, s, v, p: S._insert_backup_flat(
+        S._flatten_trees(t), n, a, ke0, pn0, pk0, a, s, v, p, None, None,
+        None, args.batch, C))
     t2 = ins(trees, node, action, leaves, value, policy)
     fetch(t2.node_n)
 

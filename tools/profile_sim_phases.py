@@ -91,10 +91,8 @@ def main() -> int:
         out[name] = round(1e3 * float(np.median(ts)) / SIMS, 2)
         print(f"{name}: {out[name]} ms/sim", file=sys.stderr, flush=True)
 
-    def kernel_part(trees, node, action):
-        parent = jax.vmap(
-            lambda st, n: jax.tree_util.tree_map(lambda b: b[n], st)
-        )(trees.states, node)
+    def kernel_part(tf, node, action):
+        parent = gather_parent(tf, node)
         leaf_packed, feats_k, cand = leaf_step(
             *S._widen_rows(parent), action, parent.komi)
         leaf_states = S._narrow_rows(leaf_packed, parent.komi)
@@ -103,50 +101,60 @@ def main() -> int:
         candidate = jnp.concatenate([cand, jnp.ones((b, 1), bool)], axis=1)
         return leaf_states, feats, candidate
 
-    def full_step(i, trees):
-        node, action = jax.vmap(lambda t: S._select(t, cfg))(trees)
-        leaf_states, feats, candidate = kernel_part(trees, node, action)
+    base = jnp.arange(B, dtype=jnp.int32) * C
+
+    def gather_parent(tf, node):
+        return jax.tree_util.tree_map(lambda x: x[base + node], tf.states)
+
+    def full_step(i, tf):
+        node, action, k_exit, path_n, path_k, root_a = S._select_flat(
+            tf, cfg, B, C)
+        leaf_states, feats, candidate = kernel_part(tf, node, action)
         value, policy = pred(feats)
-        return jax.vmap(
-            lambda t, n, a, s, v, p, c:
-                S._insert_backup(t, n, a, s, v, p, None, None, c)
-        )(trees, node, action, leaf_states, value, policy, candidate)
+        return S._insert_backup_flat(
+            tf, node, action, k_exit, path_n, path_k, root_a, leaf_states,
+            value, policy, None, None, candidate, B, C)
 
     def no_insert_step(i, carry):
-        trees, acc = carry
-        node, action = jax.vmap(lambda t: S._select(t, cfg))(trees)
-        leaf_states, feats, candidate = kernel_part(trees, node, action)
+        tf, acc = carry
+        node, action, *_ = S._select_flat(tf, cfg, B, C)
+        leaf_states, feats, candidate = kernel_part(tf, node, action)
         value, policy = pred(feats)
         acc = acc + jnp.sum(value) + jnp.sum(node.astype(jnp.float32))
-        return trees, acc
+        return tf, acc
 
-    def fixed_na(i, trees):
+    def fixed_na(i):
         node = jnp.zeros((B,), jnp.int32)
         action = jnp.full((B,), (17 * i) % 361, jnp.int32)
-        return node, action
+        d = min(C, S.MAX_BACKUP_DEPTH)
+        path_n = jnp.full((B, d), -1, jnp.int32).at[:, 0].set(0)
+        path_k = jnp.full((B, d), -1, jnp.int32)
+        k_exit = jnp.full((B,), -1, jnp.int32)
+        return node, action, k_exit, path_n, path_k, action
 
-    def no_select_step(i, trees):
-        node, action = fixed_na(i, trees)
-        leaf_states, feats, candidate = kernel_part(trees, node, action)
+    def no_select_step(i, tf):
+        node, action, k_exit, path_n, path_k, root_a = fixed_na(i)
+        leaf_states, feats, candidate = kernel_part(tf, node, action)
         value, policy = pred(feats)
-        return jax.vmap(
-            lambda t, n, a, s, v, p, c:
-                S._insert_backup(t, n, a, s, v, p, None, None, c)
-        )(trees, node, action, leaf_states, value, policy, candidate)
+        return S._insert_backup_flat(
+            tf, node, action, k_exit, path_n, path_k, root_a, leaf_states,
+            value, policy, None, None, candidate, B, C)
 
     def kernel_net_step(i, carry):
-        trees, acc = carry
-        node, action = fixed_na(i, trees)
-        leaf_states, feats, candidate = kernel_part(trees, node, action)
+        tf, acc = carry
+        node, action, *_ = fixed_na(i)
+        leaf_states, feats, candidate = kernel_part(tf, node, action)
         value, policy = pred(feats)
-        return trees, acc + jnp.sum(value)
+        return tf, acc + jnp.sum(value)
 
-    full_j = jax.jit(lambda t: jax.lax.fori_loop(0, SIMS, full_step, t))
+    full_j = jax.jit(lambda t: jax.lax.fori_loop(
+        0, SIMS, full_step, S._flatten_trees(t)))
     no_ins_j = jax.jit(lambda t: jax.lax.fori_loop(
-        0, SIMS, no_insert_step, (t, jnp.float32(0.0)))[1])
-    no_sel_j = jax.jit(lambda t: jax.lax.fori_loop(0, SIMS, no_select_step, t))
+        0, SIMS, no_insert_step, (S._flatten_trees(t), jnp.float32(0.0)))[1])
+    no_sel_j = jax.jit(lambda t: jax.lax.fori_loop(
+        0, SIMS, no_select_step, S._flatten_trees(t)))
     kn_j = jax.jit(lambda t: jax.lax.fori_loop(
-        0, SIMS, kernel_net_step, (t, jnp.float32(0.0)))[1])
+        0, SIMS, kernel_net_step, (S._flatten_trees(t), jnp.float32(0.0)))[1])
     timeit("full", lambda: full_j(trees))
     timeit("no_insert", lambda: no_ins_j(trees))
     timeit("no_select", lambda: no_sel_j(trees))
