@@ -21,6 +21,93 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
+def _is_oom(e: Exception) -> bool:
+    """True only for device memory exhaustion; anything else must surface."""
+    s = f"{type(e).__name__}: {e}"
+    return ("RESOURCE_EXHAUSTED" in s or "Out of memory" in s
+            or "exceeds the amount of memory available" in s
+            or "Attempting to reserve" in s)
+
+
+def _selfplay_stage(pred, window_s: float = 600.0):
+    """Sustained full-search self-play throughput (the reference's true
+    headline: ~0.02 games/s at 1600 rollouts, `README.md:61-64`).
+
+    The batch starts POLICY-STAGGERED across game progress
+    (`search_play._policy_stagger`), so completions arrive throughout the
+    window and games/s comes from actual completion timestamps — the
+    moves/s extrapolation only remains as a marked fallback.  Returns a
+    dict with:
+
+      selfplay_games_per_sec   completions/s (or marked extrapolation)
+      selfplay_rate_mode       "completions" | "extrapolated_moves_per_s"
+      selfplay_sims_per_sec    charged simulations/s in the production
+                               configuration (reuse top-up, winrate
+                               budgets, EARLY-C) — the effective rate that
+                               actually determines games/s, vs the
+                               headline mcts_sims_per_sec
+    """
+    import numpy as np
+
+    from dream_go_tpu.config import SearchConfig, SelfPlayConfig
+    from dream_go_tpu.selfplay.search_play import search_self_play_continuous
+
+    sp = SelfPlayConfig(num_games=100_000, num_rollout=1600)
+    ssc = SearchConfig(num_rollout=1600).resolve_auto()
+    games, game_times, sstats, sp_batch = None, [], {}, 0
+    t0 = time.time()
+    for sp_batch in (512, 384, 256, 128):
+        game_times, sstats = [], {}
+        t0 = time.time()
+        try:
+            games = search_self_play_continuous(
+                pred, sp, ssc, seed=0, batch=sp_batch,
+                game_times=game_times, deadline_s=window_s,
+                stats=sstats, stagger_warmup=True)
+            break
+        except Exception as e:
+            if not _is_oom(e):
+                raise
+            print(f"selfplay batch {sp_batch} OOM; retrying smaller",
+                  file=sys.stderr)
+    if games is None:
+        raise RuntimeError("no self-play batch size fit in HBM")
+    dt = time.time() - t0
+    out = {}
+
+    ev = sstats.get("move_events", [])
+    if len(ev) >= 4:
+        # drop the first iteration (compile + first search)
+        span_ev = max(ev[-1][0] - ev[1][0], 1e-9)
+        out["selfplay_sims_per_sec"] = sum(e[2] for e in ev[2:]) / span_ev
+        moves_per_s = sum(e[1] for e in ev[2:]) / span_ev
+    else:
+        moves_per_s = None
+
+    ramp = 4
+    if len(game_times) > ramp + 1:
+        w = game_times[ramp:]
+        rate = (len(w) - 1) / max(w[-1] - w[0], 1e-9)
+        out["selfplay_games_per_sec"] = rate
+        out["selfplay_rate_mode"] = "completions"
+    elif moves_per_s is not None:
+        # steady-state identity completions/s = moves/s / mean game length;
+        # 452 measured over 768 production games (models/rl20
+        # gen_00{00,46,47}.sgf) — only reachable when the window saw too
+        # few completions for a direct measurement
+        out["selfplay_games_per_sec"] = moves_per_s / 452.0
+        out["selfplay_rate_mode"] = "extrapolated_moves_per_s"
+    print(f"selfplay: {len(games)} completions in {dt:.0f}s (batch "
+          f"{sp_batch}, 1600 rollouts, {len(ev)} search moves"
+          + (f", {moves_per_s:.2f} moves/s" if moves_per_s else "")
+          + (f", {out['selfplay_sims_per_sec']:,.0f} charged sims/s"
+             if "selfplay_sims_per_sec" in out else "")
+          + f"); games/s {out.get('selfplay_games_per_sec', 0):.4f} "
+          f"[{out.get('selfplay_rate_mode', 'none')}]", file=sys.stderr)
+    out["selfplay_batch"] = sp_batch
+    return out
+
+
 def main():
     import jax
 
@@ -133,11 +220,10 @@ def main():
     #   selfplay_games_per_sec sustained continuous-batching self-play rate
     #                          (1600 rollouts, winrate budgets, EARLY-C)
     mcts_sims_per_sec = None
-    selfplay_games_per_sec = None
+    selfplay = {}
     if on_tpu and "--no-selfplay" not in sys.argv:
         try:
-            from dream_go_tpu.config import (ModelConfig, SearchConfig,
-                                             SelfPlayConfig)
+            from dream_go_tpu.config import ModelConfig, SearchConfig
             from dream_go_tpu.mcts import search as S
             from dream_go_tpu.mcts.predictor import net_predictor
             from dream_go_tpu.models import tower as T
@@ -165,73 +251,18 @@ def main():
             mcts_sims_per_sec = mb * sims / float(np.median(times))
             print(f"mcts simulations/s (9x128, fused, batch {mb}): "
                   f"{mcts_sims_per_sec:,.0f}", file=sys.stderr)
-            del trees
+            del trees, mstates
 
-            # sustained games/s: continuous batching in a fixed window.
-            # steady rate = completions after the ramp (the first games of a
-            # cold batch take a full game length to finish).
-            import re as _re
-
-            from dream_go_tpu.selfplay.search_play import (
-                search_self_play_continuous)
-            window_s, ramp_games = 300.0, 8
-            sp = SelfPlayConfig(num_games=100_000, num_rollout=1600)
-            ssc = SearchConfig(num_rollout=1600).resolve_auto()
-            # batch 256's program alone needs 15.76G — 13.8MB over the
-            # 15.75G v5e HBM budget even with every earlier-stage buffer
-            # freed — so 192 is the largest 1600-rollout configuration
-            # that fits next to the 9x128 net; still step down on failure
-            del states, weights
-            games, sstats = None, {}
-            for sp_batch in (192, 128, 64):
-                game_times, sstats = [], {}
-                t0 = time.time()
-                try:
-                    games = search_self_play_continuous(
-                        pred, sp, ssc, seed=0, batch=sp_batch,
-                        game_times=game_times, deadline_s=window_s,
-                        stats=sstats)
-                    break
-                except Exception as oom:
-                    print(f"selfplay batch {sp_batch} failed ({oom}); "
-                          "retrying smaller", file=sys.stderr)
-            if games is None:
-                raise RuntimeError("no self-play batch size fit")
-            dt = time.time() - t0
-            sims_tv = sum(int(m) for g in games
-                          for m in _re.findall(r"TV\[(\d+)\]", g))
-            if len(game_times) > ramp_games + 1:
-                # enough in-window completions for a direct measurement
-                w = game_times[ramp_games:]
-                span = max(w[-1] - w[0], 1e-9)
-                selfplay_games_per_sec = (len(w) - 1) / span
-            else:
-                # a cold batch needs a full game length (~hours at 1600
-                # rollouts) before its FIRST completion, so a fixed window
-                # sees zero finishes; in steady state completions/s =
-                # aggregate moves/s / mean game length.  Mean length 452
-                # measured over 768 production games (models/rl20
-                # gen_00{00,46,47}.sgf, play-to-scorable, reference
-                # termination semantics).
-                MEAN_GAME_LEN = 452.0
-                ev = sstats.get("move_events", [])
-                if len(ev) >= 4:
-                    # drop the first iteration (compile + first search)
-                    span = max(ev[-1][0] - ev[1][0], 1e-9)
-                    moves = sum(e[1] for e in ev[2:])
-                    moves_per_s = moves / span
-                    selfplay_games_per_sec = moves_per_s / MEAN_GAME_LEN
-                    print(f"selfplay window: {len(ev)} search moves, "
-                          f"{moves_per_s:.2f} moves/s aggregate "
-                          f"(charged sims {sum(e[2] for e in ev[2:]):,})",
-                          file=sys.stderr)
-            print(f"selfplay: {len(games)} games in {dt:.0f}s "
-                  f"(batch {sp_batch}, 1600 rollouts, charged sims "
-                  f"{sims_tv:,}); steady "
-                  f"{selfplay_games_per_sec or 0:.3f} games/s",
-                  file=sys.stderr)
         except Exception as e:  # secondary metrics must not break the bench
-            print(f"selfplay bench skipped: {e}", file=sys.stderr)
+            pred = None
+            print(f"mcts sims bench skipped: {e}", file=sys.stderr)
+        if pred is not None:
+            # free the env-stage device buffers before the HBM-hungry
+            # self-play stage (its own function: no stale locals).  NOT
+            # exception-guarded: if every ladder size OOMs, the bench must
+            # FAIL loudly rather than demote the headline workload.
+            states = weights = None
+            selfplay = _selfplay_stage(pred)
 
     # --full: the reference's remaining --bench categories (`src/dg/bench/`):
     # SGF parse/s, feature extraction/s, MCTS simulations/s
@@ -327,11 +358,17 @@ def main():
     }
     if mcts_sims_per_sec is not None:
         line["mcts_sims_per_sec"] = round(mcts_sims_per_sec, 1)
-    if selfplay_games_per_sec is not None:
+    if selfplay.get("selfplay_games_per_sec") is not None:
         # reference: ~0.02 games/s full search (README.md:61-64)
-        line["selfplay_games_per_sec"] = round(selfplay_games_per_sec, 4)
+        line["selfplay_games_per_sec"] = round(
+            selfplay["selfplay_games_per_sec"], 4)
         line["selfplay_vs_reference"] = round(
-            selfplay_games_per_sec / 0.02, 1)
+            selfplay["selfplay_games_per_sec"] / 0.02, 1)
+        line["selfplay_rate_mode"] = selfplay["selfplay_rate_mode"]
+        line["selfplay_batch"] = selfplay["selfplay_batch"]
+    if selfplay.get("selfplay_sims_per_sec") is not None:
+        line["selfplay_sims_per_sec"] = round(
+            selfplay["selfplay_sims_per_sec"], 1)
     print(json.dumps(line))
 
 

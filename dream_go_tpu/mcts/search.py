@@ -346,9 +346,10 @@ def _select_flat(tf: Tree, cfg: SearchConfig, batch: int, cap: int):
     def puct_nonroot(m):
         """Slot-vs-unexpanded PUCT at non-root nodes m [B] -> (action, k).
 
-        Expanded edges score from their slot stats; unexpanded candidates
-        all share count 0, so their argmax is the prior argmax — no dense
-        edge row is ever materialized.
+        Expanded edges score from their slot stats.  Unexpanded candidates
+        all share count 0, so their score ``fpu + prior * u`` is monotone
+        in the prior — their argmax is the masked prior argmax, and only
+        ONE [B, A] reduction is needed.
         """
         g = base + m
         n_tot = tf.node_n[g].astype(jnp.float32)
@@ -369,10 +370,9 @@ def _select_flat(tf: Tree, cfg: SearchConfig, batch: int, cap: int):
         candm = unpack_cand(tf.cand[g])
         in_slots = jnp.any(sa[:, :, None] == acts[None, None, :], axis=1)
         un_mask = candm & ~in_slots
-        s_un = fpu[:, None] + rowp * u[:, None]
-        s_un = jnp.where(un_mask & jnp.isfinite(s_un), s_un, -jnp.inf)
-        a_best = jnp.argmax(s_un, axis=1).astype(jnp.int32)
-        su_best = jnp.max(s_un, axis=1)
+        p_un = jnp.where(un_mask, rowp, -jnp.inf)
+        a_best = jnp.argmax(p_un, axis=1).astype(jnp.int32)
+        su_best = fpu + jnp.max(p_un, axis=1) * u
 
         any_un = jnp.any(un_mask, axis=1)
         any_slot = jnp.any(occ, axis=1)
@@ -385,11 +385,22 @@ def _select_flat(tf: Tree, cfg: SearchConfig, batch: int, cap: int):
         return action, kk
 
     d = min(cap, MAX_BACKUP_DEPTH)
-    node0 = jnp.zeros((batch,), jnp.int32)
     path_n = jnp.full((batch, d), -1, jnp.int32).at[:, 0].set(0)
     path_k = jnp.full((batch, d), -1, jnp.int32)
-    carry0 = (node0, root_a, jnp.full((batch,), -1, jnp.int32),
-              jnp.zeros((batch,), bool), jnp.int32(1), path_n, path_k)
+
+    # resolve the root advance once, outside the loop: after it, a lane's
+    # position is never the root again, so the loop body only consults the
+    # slot tables
+    child0 = jnp.take_along_axis(tf.root_child, root_a[:, None], 1)[:, 0]
+    adv0 = child0 >= 0
+    node1 = jnp.where(adv0, child0, 0)
+    a1, k1 = puct_nonroot(node1)
+    node = node1
+    action = jnp.where(adv0, a1, root_a)
+    kc = jnp.where(adv0, k1, -1)
+    path_n = path_n.at[:, 1].set(jnp.where(adv0, node1, -1))
+    path_k = path_k.at[:, 1].set(jnp.where(adv0, kc, -1))
+    carry0 = (node, action, kc, ~adv0, jnp.int32(2), path_n, path_k)
 
     def cond(c):
         node, action, kc, done, depth, *_ = c
@@ -397,13 +408,10 @@ def _select_flat(tf: Tree, cfg: SearchConfig, batch: int, cap: int):
 
     def body(c):
         node, action, kc, done, depth, path_n, path_k = c
-        child_root = jnp.take_along_axis(
-            tf.root_child, action[:, None], axis=1)[:, 0]
-        child_slot = jnp.take_along_axis(
+        child = jnp.take_along_axis(
             tf.slot_child[base + node], jnp.maximum(kc, 0)[:, None],
             axis=1)[:, 0]
-        child = jnp.where(node == 0, child_root,
-                          jnp.where(kc >= 0, child_slot, -1))
+        child = jnp.where(kc >= 0, child, -1)
         adv = (~done) & (child >= 0)
         node2 = jnp.where(adv, child, node)
         action_new, k_new = puct_nonroot(node2)
@@ -477,16 +485,13 @@ def _insert_backup_flat(tf: Tree, node, action, k_exit, path_n, path_k,
         return buf.at[idx_new].set(row, mode="drop", unique_indices=True)
 
     leaf_to_move = _states_to_move(leaf_rows).astype(jnp.int32)
-    kk = tf.slot_action.shape[1]
+    # NB: the new row's slot table needs no clearing — rows past ``size``
+    # hold their init values within a search, and reroot's gather refills
+    # every dead row (-1/0) before recycling
     tf = tf.replace(
         states=jax.tree_util.tree_map(setr, tf.states, leaf_rows),
         prior=setr(tf.prior, prior.astype(jnp.bfloat16)),
         cand=setr(tf.cand, pack_cand(candidate)),
-        slot_action=setr(tf.slot_action, jnp.full((batch, kk), -1,
-                                                  jnp.int32)),
-        slot_child=setr(tf.slot_child, jnp.full((batch, kk), -1, jnp.int32)),
-        slot_n=setr(tf.slot_n, jnp.zeros((batch, kk), jnp.int32)),
-        slot_w=setr(tf.slot_w, jnp.zeros((batch, kk))),
         parent=setr(tf.parent, node),
         parent_action=setr(tf.parent_action, action),
         parent_slot=setr(tf.parent_slot,
