@@ -412,12 +412,16 @@ def ladder_planes_batch(states: GoState, chunk: int = 128,
     resident while staying one compiled program.
 
     NOTE on bounds: ``chunk``/``max_candidates`` apply ONLY to the XLA
-    path.  The kernel evaluates every candidate, so on boards with more
-    than ``max_candidates`` capture starts (or 8 escape starts) the two
-    backends can legitimately differ — the kernel's planes are the
-    *more* complete ones (closer to `ladder.rs`, which bounds nothing).
-    Callers that need the bounded XLA semantics on a TPU backend must
-    pass ``use_kernel=False`` explicitly.
+    path.  The kernel evaluates every candidate (like `ladder.rs`, which
+    bounds nothing), so on boards with more than ``max_candidates``
+    capture starts (or 8 escape starts) the backends differ by a TESTED
+    contract (`tests/test_ladder_bounds.py`): the XLA path is an exact
+    prefix truncation — it matches the kernel on the first
+    ``max_candidates``/``max_escapes`` candidates in point order, leaves
+    the tail False, and matches the kernel everywhere once the bounds are
+    raised past the board's candidate count.  Callers that need the
+    bounded XLA semantics on a TPU backend must pass ``use_kernel=False``
+    explicitly.
     """
     if use_kernel is None:
         import jax as _jax
