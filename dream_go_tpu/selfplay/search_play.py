@@ -218,24 +218,31 @@ def _policy_stagger(predictor: Predictor, cfg: SelfPlayConfig,
                           feature_set=search_cfg.feature_set)
     move_fn = _build_move_fn(player)
     targets = jnp.asarray((np.arange(b) * cfg.max_moves) // b, jnp.int32)
+    chunk = 64  # one modest program called ~12x: a single max_moves-trip
+    #             fori_loop is the same math but a much larger XLA program,
+    #             which the remote-tunnel platform handles poorly
 
     @jax.jit
-    def warm(states, rng):
-        def body(i, carry):
+    def warm_chunk(states, rng, i0):
+        def body(j, carry):
             states, key = carry
             key, k1 = jax.random.split(key)
             stepped, *_ = move_fn(states, k1)
             stepped = _reset_slots(stepped, stepped.done, stepped.komi,
                                    cfg.history_len)
-            adv = i < targets
+            adv = (i0 + j) < targets
             pick = lambda a, o: jnp.where(
                 adv.reshape((b,) + (1,) * (o.ndim - 1)), a, o)
             return jax.tree_util.tree_map(pick, stepped, states), key
 
-        states, _ = jax.lax.fori_loop(0, cfg.max_moves, body, (states, rng))
+        states, _ = jax.lax.fori_loop(0, chunk, body, (states, rng))
         return states
 
-    return warm(states, jax.random.PRNGKey(seed ^ 0x5744))
+    key = jax.random.PRNGKey(seed ^ 0x5744)
+    for i0 in range(0, cfg.max_moves, chunk):
+        key, sub = jax.random.split(key)
+        states = warm_chunk(states, sub, jnp.int32(i0))
+    return states
 
 
 @functools.partial(jax.jit, static_argnums=(3,))
