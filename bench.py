@@ -56,7 +56,7 @@ def _selfplay_stage(pred, window_s: float = 600.0):
     ssc = SearchConfig(num_rollout=1600).resolve_auto()
     games, game_times, sstats, sp_batch = None, [], {}, 0
     t0 = time.time()
-    for sp_batch in (512, 384, 256, 128):
+    for sp_batch in (384, 256, 128):
         game_times, sstats = [], {}
         t0 = time.time()
         try:

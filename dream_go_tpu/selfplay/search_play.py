@@ -282,9 +282,11 @@ def search_self_play_continuous(predictor: Predictor, cfg: SelfPlayConfig,
     the sustained-throughput (games/s) mode used for production self-play
     and the bench.
 
-    ``deadline_s`` (optional) stops the loop after that many wall seconds
-    even if fewer than ``cfg.num_games`` games completed — the bench's
-    fixed-window mode (completed games are still returned).
+    ``deadline_s`` (optional) stops the loop that many wall seconds after
+    the FIRST move returns (jit compile + program load excluded — minutes
+    through a remote-tunnel platform) even if fewer than ``cfg.num_games``
+    games completed — the bench's fixed-window mode (completed games are
+    still returned).
 
     ``stats`` (optional dict) receives ``move_events``: one
     ``(monotonic_time, active_games, charged_sims)`` tuple per search-move
@@ -368,8 +370,11 @@ def search_self_play_continuous(predictor: Predictor, cfg: SelfPlayConfig,
             records = records[lo - rec_base:]
             rec_base = lo
 
-    t_deadline = None if deadline_s is None \
-        else time.monotonic() + deadline_s
+    # the deadline clock starts AFTER the first move returns: the first
+    # iteration carries jit compile + program load (minutes through a
+    # remote-tunnel platform), which would otherwise consume most of a
+    # fixed measurement window
+    t_deadline = None
     while len(games) < cfg.num_games and move_i < max_total and (
             t_deadline is None or time.monotonic() < t_deadline):
         key, sub = jax.random.split(key)
@@ -404,6 +409,8 @@ def search_self_play_continuous(predictor: Predictor, cfg: SelfPlayConfig,
         records.append((active, np.asarray(move), value, to_move,
                         np.asarray(targets, dtype=np.float16), budget))
         move_i += 1
+        if move_i == 1 and deadline_s is not None:
+            t_deadline = time.monotonic() + deadline_s
         if move_i % refill_every == 0:
             flush_and_refill()
 

@@ -109,8 +109,12 @@ def test_fused_search_matches_xla_search():
     np.testing.assert_allclose(np.asarray(jax.vmap(S.root_q)(tx)),
                                np.asarray(jax.vmap(S.root_q)(tf)),
                                rtol=0, atol=1e-5)
-    np.testing.assert_array_equal(np.asarray(tx.children),
-                                  np.asarray(tf.children))
+    np.testing.assert_array_equal(np.asarray(tx.slot_action),
+                                  np.asarray(tf.slot_action))
+    np.testing.assert_array_equal(np.asarray(tx.slot_child),
+                                  np.asarray(tf.slot_child))
+    np.testing.assert_array_equal(np.asarray(tx.root_child),
+                                  np.asarray(tf.root_child))
     # the packed tree states round-trip to the same boards
     got = S.unpack_rows(jax.vmap(lambda t: jax.tree_util.tree_map(
         lambda b: b[0], t.states))(tf))

@@ -41,6 +41,10 @@ def main() -> int:
     ap.add_argument("--num-samples", type=int, default=8)
     ap.add_argument("--holdout", type=int, default=10,
                     help="games held out for the accuracy curve")
+    ap.add_argument("--holdout-games", default=None,
+                    help="separate held-out corpus file (e.g. the 99 pro "
+                    "games while training on a self-generated corpus); "
+                    "overrides --holdout")
     ap.add_argument("--steps", type=int, default=4000)
     ap.add_argument("--eval-every", type=int, default=200)
     ap.add_argument("--eval-batches", type=int, default=8)
@@ -74,8 +78,13 @@ def main() -> int:
         lines = [l.strip() for l in fh if l.strip()]
     rng = random.Random(args.seed)
     rng.shuffle(lines)
-    holdout = lines[:args.holdout]
-    train = lines[args.holdout:]
+    if args.holdout_games:
+        with open(args.holdout_games) as fh:
+            holdout = [l.strip() for l in fh if l.strip()]
+        train = lines
+    else:
+        holdout = lines[:args.holdout]
+        train = lines[args.holdout:]
     print(f"corpus: {len(train)} train / {len(holdout)} held-out games",
           file=sys.stderr)
 
