@@ -56,7 +56,11 @@ def _selfplay_stage(pred, window_s: float = 600.0):
     ssc = SearchConfig(num_rollout=1600).resolve_auto()
     games, game_times, sstats, sp_batch = None, [], {}, 0
     t0 = time.time()
-    for sp_batch in (384, 256, 128):
+    # 256 is the largest 1600-rollout batch the axon worker runs reliably:
+    # 384/512 programs repeatedly crashed the remote worker outright
+    # (UNAVAILABLE, not RESOURCE_EXHAUSTED) on first execution, and a dead
+    # backend cannot step down a ladder — so the opening rung must be safe
+    for sp_batch in (256, 192, 128):
         game_times, sstats = [], {}
         t0 = time.time()
         try:
@@ -258,11 +262,18 @@ def main():
             print(f"mcts sims bench skipped: {e}", file=sys.stderr)
         if pred is not None:
             # free the env-stage device buffers before the HBM-hungry
-            # self-play stage (its own function: no stale locals).  NOT
-            # exception-guarded: if every ladder size OOMs, the bench must
-            # FAIL loudly rather than demote the headline workload.
+            # self-play stage (its own function: no stale locals)
             states = weights = None
-            selfplay = _selfplay_stage(pred)
+            try:
+                selfplay = _selfplay_stage(pred)
+            except Exception as e:
+                # record the failure IN the JSON line (the driver archives
+                # stdout): a missing-but-explained metric beats losing the
+                # whole line to a flaky remote worker, and an all-sizes-OOM
+                # regression still shows up as selfplay_error
+                selfplay = {"selfplay_error":
+                            f"{type(e).__name__}: {str(e)[:160]}"}
+                print(f"selfplay stage failed: {e}", file=sys.stderr)
 
     # --full: the reference's remaining --bench categories (`src/dg/bench/`):
     # SGF parse/s, feature extraction/s, MCTS simulations/s
@@ -369,6 +380,8 @@ def main():
     if selfplay.get("selfplay_sims_per_sec") is not None:
         line["selfplay_sims_per_sec"] = round(
             selfplay["selfplay_sims_per_sec"], 1)
+    if selfplay.get("selfplay_error") is not None:
+        line["selfplay_error"] = selfplay["selfplay_error"]
     print(json.dumps(line))
 
 

@@ -18,7 +18,11 @@ env step.  Reference semantics preserved:
   ``clamp(4*w*(1-w), 0.1, 1) * num_rollout`` simulations per move
   (`self_play.rs:218-241`).  Lockstep batching realises the budget as a
   per-game cap inside the shared search loop; with ``adaptive`` search the
-  whole batch exits once every game is decided or out of budget.
+  whole batch exits once every game is decided or out of budget;
+- reused subtree visits count toward the budget (``SearchConfig.
+  reuse_budget``): RolloutLimit compares the root's TOTAL count to the
+  limit (`rollout_limit.rs:18-45`), so a move with a fat reused subtree
+  only tops the tree up instead of re-charging a full fresh budget.
 """
 
 from __future__ import annotations
