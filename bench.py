@@ -29,7 +29,31 @@ def _is_oom(e: Exception) -> bool:
             or "Attempting to reserve" in s)
 
 
-def _selfplay_stage(pred, window_s: float = 600.0):
+def _selfplay_subprocess(window_s: float = 600.0):
+    """Run the self-play stage in a FRESH process and return its metrics.
+
+    The remote axon worker repeatedly crashed (UNAVAILABLE) when the big
+    1600-rollout search program started in a process that had already run
+    the env/forward/sims stages, while the identical configuration runs
+    clean from a fresh process — a clean worker context avoids whatever
+    state the earlier stages leave behind, and a crash is contained to the
+    child.  The persistent compile cache keeps the recompile cost down.
+    """
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, __file__, "--selfplay-stage"],
+        capture_output=True, text=True, timeout=3600)
+    sys.stderr.write(proc.stderr[-4000:])
+    for line in reversed(proc.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(
+        f"selfplay subprocess produced no metrics (exit {proc.returncode})")
+
+
+def _selfplay_stage(pred=None, window_s: float = 600.0):
     """Sustained full-search self-play throughput (the reference's true
     headline: ~0.02 games/s at 1600 rollouts, `README.md:61-64`).
 
@@ -51,6 +75,17 @@ def _selfplay_stage(pred, window_s: float = 600.0):
 
     from dream_go_tpu.config import SearchConfig, SelfPlayConfig
     from dream_go_tpu.selfplay.search_play import search_self_play_continuous
+
+    if pred is None:
+        import jax
+
+        from dream_go_tpu.config import ModelConfig
+        from dream_go_tpu.mcts.predictor import net_predictor
+        from dream_go_tpu.models import tower as T
+
+        mcfg = ModelConfig()
+        mp, mstats = T.init_tower(mcfg, jax.random.PRNGKey(0))
+        pred = net_predictor(mcfg, mp, mstats)
 
     sp = SelfPlayConfig(num_games=100_000, num_rollout=1600)
     ssc = SearchConfig(num_rollout=1600).resolve_auto()
@@ -265,7 +300,7 @@ def main():
             # self-play stage (its own function: no stale locals)
             states = weights = None
             try:
-                selfplay = _selfplay_stage(pred)
+                selfplay = _selfplay_subprocess()
             except Exception as e:
                 # record the failure IN the JSON line (the driver archives
                 # stdout): a missing-but-explained metric beats losing the
@@ -385,5 +420,18 @@ def main():
     print(json.dumps(line))
 
 
+def _selfplay_stage_main():
+    import jax
+
+    cache = __import__("os").environ.get(
+        "DG_COMPILE_CACHE", "/tmp/dream_go_tpu_jax_cache_tpu")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    print(json.dumps(_selfplay_stage()))
+
+
 if __name__ == "__main__":
-    main()
+    if "--selfplay-stage" in sys.argv:
+        _selfplay_stage_main()
+    else:
+        main()
