@@ -30,30 +30,107 @@ def _is_oom(e: Exception) -> bool:
 
 
 def _selfplay_subprocess(window_s: float = 600.0):
-    """Run the self-play stage in a FRESH process and return its metrics.
+    """Orchestrate the self-play stage as TWO fresh child processes per
+    ladder batch: policy-stagger warm-up, then the measured search window.
 
     The remote axon worker repeatedly crashed (UNAVAILABLE) when the big
     1600-rollout search program started in a process that had already run
-    the env/forward/sims stages, while the identical configuration runs
-    clean from a fresh process — a clean worker context avoids whatever
-    state the earlier stages leave behind, and a crash is contained to the
-    child.  The persistent compile cache keeps the recompile cost down.
+    other device programs (the env/forward/sims stages, or even just the
+    small warm-up programs), while the identical search runs clean from a
+    fresh process.  The staggered boards cross processes as an npz file;
+    the persistent compile cache keeps recompiles cheap.  A child crash or
+    OOM steps the ladder down instead of killing the bench.
     """
     import subprocess
+    import tempfile
 
-    proc = subprocess.run(
-        [sys.executable, __file__, "--selfplay-stage"],
-        capture_output=True, text=True, timeout=3600)
-    sys.stderr.write(proc.stderr[-4000:])
-    for line in reversed(proc.stdout.strip().splitlines()):
-        line = line.strip()
-        if line.startswith("{"):
-            return json.loads(line)
-    raise RuntimeError(
-        f"selfplay subprocess produced no metrics (exit {proc.returncode})")
+    for sp_batch in (256, 192, 128):
+        with tempfile.TemporaryDirectory() as td:
+            npz = f"{td}/staggered.npz"
+            w = subprocess.run(
+                [sys.executable, __file__, "--selfplay-warmup", npz,
+                 str(sp_batch)],
+                capture_output=True, text=True, timeout=1800)
+            sys.stderr.write(w.stderr[-2000:])
+            if w.returncode != 0:
+                print(f"selfplay warmup failed at batch {sp_batch}; "
+                      "stepping down", file=sys.stderr)
+                continue
+            p = subprocess.run(
+                [sys.executable, __file__, "--selfplay-search", npz],
+                capture_output=True, text=True, timeout=3000)
+            sys.stderr.write(p.stderr[-3000:])
+            if p.returncode == 0:
+                for line in reversed(p.stdout.strip().splitlines()):
+                    if line.strip().startswith("{"):
+                        return json.loads(line)
+            print(f"selfplay search failed at batch {sp_batch}; "
+                  "stepping down", file=sys.stderr)
+    raise RuntimeError("selfplay stage failed at every ladder batch")
 
 
-def _selfplay_stage(pred=None, window_s: float = 600.0):
+def _stage_jax():
+    import jax
+
+    import os as _os
+    cache = _os.environ.get("DG_COMPILE_CACHE",
+                            "/tmp/dream_go_tpu_jax_cache_tpu")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    return jax
+
+
+def _stage_pred(jax):
+    from dream_go_tpu.config import ModelConfig
+    from dream_go_tpu.mcts.predictor import net_predictor
+    from dream_go_tpu.models import tower as T
+
+    mcfg = ModelConfig()
+    mp, mstats = T.init_tower(mcfg, jax.random.PRNGKey(0))
+    return net_predictor(mcfg, mp, mstats)
+
+
+def _selfplay_warmup_main(npz_path: str, sp_batch: int):
+    """Child 1: policy-stagger a fresh batch and save the boards."""
+    import dataclasses
+
+    import numpy as np
+
+    jax = _stage_jax()
+    from dream_go_tpu.config import SearchConfig, SelfPlayConfig
+    from dream_go_tpu.go import engine
+    from dream_go_tpu.selfplay.search_play import _policy_stagger
+
+    pred = _stage_pred(jax)
+    sp = SelfPlayConfig(num_games=100_000, num_rollout=1600)
+    ssc = SearchConfig(num_rollout=1600).resolve_auto()
+    states = engine.new_states(sp_batch, komi=sp.komi,
+                               history_len=sp.history_len)
+    states = _policy_stagger(pred, sp, ssc, states, seed=0)
+    np.savez(npz_path, **{f.name: np.asarray(getattr(states, f.name))
+                          for f in dataclasses.fields(states)})
+    mc = np.asarray(states.move_count)
+    print(f"warmup: batch {sp_batch} staggered, move_count "
+          f"{mc.min()}..{mc.max()}", file=sys.stderr)
+
+
+def _selfplay_search_main(npz_path: str):
+    """Child 2: run the measured window from the staggered boards and
+    print the metrics dict as one JSON line."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax = _stage_jax()
+    from dream_go_tpu.go import engine
+
+    data = np.load(npz_path)
+    states = engine.new_states(int(data["stones"].shape[0]))
+    states = states.replace(**{k: jnp.asarray(data[k]) for k in data.files})
+    pred = _stage_pred(jax)
+    print(json.dumps(_selfplay_stage(pred, initial_states=states)))
+
+
+def _selfplay_stage(pred, window_s: float = 600.0, initial_states=None):
     """Sustained full-search self-play throughput (the reference's true
     headline: ~0.02 games/s at 1600 rollouts, `README.md:61-64`).
 
@@ -76,41 +153,17 @@ def _selfplay_stage(pred=None, window_s: float = 600.0):
     from dream_go_tpu.config import SearchConfig, SelfPlayConfig
     from dream_go_tpu.selfplay.search_play import search_self_play_continuous
 
-    if pred is None:
-        import jax
-
-        from dream_go_tpu.config import ModelConfig
-        from dream_go_tpu.mcts.predictor import net_predictor
-        from dream_go_tpu.models import tower as T
-
-        mcfg = ModelConfig()
-        mp, mstats = T.init_tower(mcfg, jax.random.PRNGKey(0))
-        pred = net_predictor(mcfg, mp, mstats)
-
     sp = SelfPlayConfig(num_games=100_000, num_rollout=1600)
     ssc = SearchConfig(num_rollout=1600).resolve_auto()
-    games, game_times, sstats, sp_batch = None, [], {}, 0
+    game_times, sstats = [], {}
+    sp_batch = int(initial_states.stones.shape[0]) \
+        if initial_states is not None else 256
     t0 = time.time()
-    # 256 is the largest 1600-rollout batch the axon worker runs reliably:
-    # 384/512 programs repeatedly crashed the remote worker outright
-    # (UNAVAILABLE, not RESOURCE_EXHAUSTED) on first execution, and a dead
-    # backend cannot step down a ladder — so the opening rung must be safe
-    for sp_batch in (256, 192, 128):
-        game_times, sstats = [], {}
-        t0 = time.time()
-        try:
-            games = search_self_play_continuous(
-                pred, sp, ssc, seed=0, batch=sp_batch,
-                game_times=game_times, deadline_s=window_s,
-                stats=sstats, stagger_warmup=True)
-            break
-        except Exception as e:
-            if not _is_oom(e):
-                raise
-            print(f"selfplay batch {sp_batch} OOM; retrying smaller",
-                  file=sys.stderr)
-    if games is None:
-        raise RuntimeError("no self-play batch size fit in HBM")
+    games = search_self_play_continuous(
+        pred, sp, ssc, seed=0, batch=sp_batch,
+        game_times=game_times, deadline_s=window_s,
+        stats=sstats, stagger_warmup=initial_states is None,
+        initial_states=initial_states)
     dt = time.time() - t0
     out = {}
 
@@ -420,18 +473,12 @@ def main():
     print(json.dumps(line))
 
 
-def _selfplay_stage_main():
-    import jax
-
-    cache = __import__("os").environ.get(
-        "DG_COMPILE_CACHE", "/tmp/dream_go_tpu_jax_cache_tpu")
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    print(json.dumps(_selfplay_stage()))
-
-
 if __name__ == "__main__":
-    if "--selfplay-stage" in sys.argv:
-        _selfplay_stage_main()
+    if "--selfplay-warmup" in sys.argv:
+        i = sys.argv.index("--selfplay-warmup")
+        _selfplay_warmup_main(sys.argv[i + 1], int(sys.argv[i + 2]))
+    elif "--selfplay-search" in sys.argv:
+        i = sys.argv.index("--selfplay-search")
+        _selfplay_search_main(sys.argv[i + 1])
     else:
         main()

@@ -270,7 +270,9 @@ def search_self_play_continuous(predictor: Predictor, cfg: SelfPlayConfig,
                                 game_times: list | None = None,
                                 deadline_s: float | None = None,
                                 stats: dict | None = None,
-                                stagger_warmup: bool = False) -> list[str]:
+                                stagger_warmup: bool = False,
+                                initial_states: engine.GoState | None = None,
+                                ) -> list[str]:
     """Full-search self-play with continuous batching: finished games are
     replaced by fresh ones so the device batch stays full of live games.
 
@@ -305,15 +307,21 @@ def search_self_play_continuous(predictor: Predictor, cfg: SelfPlayConfig,
     if sym_average:
         predictor = symmetrize(predictor)
     rng_np = np.random.default_rng(seed)
-    komi0 = random_komi(batch, seed) if cfg.random_komi \
-        else np.full(batch, cfg.komi, np.float32)
-    states = engine.new_states(batch, komi=cfg.komi,
-                               history_len=cfg.history_len)
-    states = states.replace(komi=jnp.asarray(komi0))
+    if initial_states is not None:
+        # pre-staggered (or otherwise prepared) boards, e.g. from a
+        # separate warm-up process (`bench.py --selfplay-warmup`)
+        states = initial_states
+        batch = int(states.stones.shape[0])
+    else:
+        komi0 = random_komi(batch, seed) if cfg.random_komi \
+            else np.full(batch, cfg.komi, np.float32)
+        states = engine.new_states(batch, komi=cfg.komi,
+                                   history_len=cfg.history_len)
+        states = states.replace(komi=jnp.asarray(komi0))
     if sharding is not None:
         states = jax.tree_util.tree_map(
             lambda x: jax.device_put(x, sharding), states)
-    if stagger_warmup:
+    if stagger_warmup and initial_states is None:
         # steady-state benchmarking: spread the batch across game progress
         # so completions arrive throughout a fixed window (see
         # `_policy_stagger` — the emitted games are bench material only)
