@@ -44,29 +44,65 @@ def _selfplay_subprocess(window_s: float = 600.0):
     import subprocess
     import tempfile
 
-    for sp_batch in (256, 192, 128):
+    def run_search(npz):
+        p = subprocess.run(
+            [sys.executable, __file__, "--selfplay-search", npz],
+            capture_output=True, text=True, timeout=3000)
+        sys.stderr.write(p.stderr[-3000:])
+        if p.returncode == 0:
+            for line in reversed(p.stdout.strip().splitlines()):
+                if line.strip().startswith("{"):
+                    return json.loads(line)
+        return None
+
+    # preferred rung: policy-staggered boards -> completions-based games/s.
+    # Known issue (round 5): the search child crashes the remote worker on
+    # STAGGERED (mid-game) boards while running the identical program clean
+    # on fresh boards — a data-dependent fault still unlocated (see
+    # ARCHITECTURE.md).  The fresh-board rungs below keep the bench
+    # producing a (marked, extrapolated) number until it is fixed.
+    for sp_batch, staggered in ((256, True), (256, False), (128, False)):
         with tempfile.TemporaryDirectory() as td:
-            npz = f"{td}/staggered.npz"
-            w = subprocess.run(
-                [sys.executable, __file__, "--selfplay-warmup", npz,
-                 str(sp_batch)],
-                capture_output=True, text=True, timeout=1800)
-            sys.stderr.write(w.stderr[-2000:])
-            if w.returncode != 0:
-                print(f"selfplay warmup failed at batch {sp_batch}; "
-                      "stepping down", file=sys.stderr)
-                continue
-            p = subprocess.run(
-                [sys.executable, __file__, "--selfplay-search", npz],
-                capture_output=True, text=True, timeout=3000)
-            sys.stderr.write(p.stderr[-3000:])
-            if p.returncode == 0:
-                for line in reversed(p.stdout.strip().splitlines()):
-                    if line.strip().startswith("{"):
-                        return json.loads(line)
-            print(f"selfplay search failed at batch {sp_batch}; "
-                  "stepping down", file=sys.stderr)
-    raise RuntimeError("selfplay stage failed at every ladder batch")
+            npz = f"{td}/boards.npz"
+            if staggered:
+                w = subprocess.run(
+                    [sys.executable, __file__, "--selfplay-warmup", npz,
+                     str(sp_batch)],
+                    capture_output=True, text=True, timeout=1800)
+                sys.stderr.write(w.stderr[-2000:])
+                if w.returncode != 0:
+                    print(f"selfplay warmup failed at batch {sp_batch}",
+                          file=sys.stderr)
+                    continue
+            else:
+                # pure-numpy fresh boards (GoState schema, engine.py): the
+                # parent must not touch the device — its backend may be
+                # dead after a crashed child took the worker down
+                import numpy as _np
+                B, NN, PASS = sp_batch, 361, 361
+                _np.savez(
+                    npz,
+                    stones=_np.zeros((B, NN), _np.int8),
+                    chain_id=_np.tile(_np.arange(NN, dtype=_np.int32), (B, 1)),
+                    chain_xor=_np.zeros((B, NN, 2), _np.uint32),
+                    to_move=_np.full((B,), 1, _np.int8),
+                    hash=_np.zeros((B, 2), _np.uint32),
+                    hash_hist=_np.zeros((B, 64, 2), _np.uint32),
+                    placed_count=_np.zeros((B,), _np.int32),
+                    move_count=_np.zeros((B,), _np.int32),
+                    pass_count=_np.zeros((B,), _np.int32),
+                    last_two=_np.full((B, 2), PASS, _np.int32),
+                    komi=_np.full((B,), 7.5, _np.float32),
+                    done=_np.zeros((B,), bool))
+            got = run_search(npz)
+            if got is not None:
+                got["selfplay_boards"] = ("staggered" if staggered
+                                          else "fresh")
+                return got
+            print(f"selfplay search failed (batch {sp_batch}, "
+                  f"{'staggered' if staggered else 'fresh'}); stepping down",
+                  file=sys.stderr)
+    raise RuntimeError("selfplay stage failed at every ladder rung")
 
 
 def _stage_jax():
